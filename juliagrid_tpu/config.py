@@ -1,0 +1,58 @@
+"""Global configuration for the juliagrid_tpu framework.
+
+TPU-native design note: the reference framework (JuliaGrid) works in float64
+throughout. On TPU the MXU is fp32/bf16; f64 is software-emulated for
+elementwise ops and matmuls but *not* supported by XLA's LU expander. Our
+solver substrate therefore factorizes in f32 on the MXU and recovers f64
+accuracy via mixed-precision iterative refinement (see ops/linalg.py). The
+framework-wide default dtype is f64 so results match the reference oracles
+to their tolerances.
+
+Mirrors the reference's ``@config`` macro and ``ConfigTemplate``
+(/root/reference/src/backend/internal.jl:299-312, definition/internal.jl:236).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+
+# Enable x64 once at import. Opt out with JGTPU_NO_X64=1 (e.g. pure-f32 benches).
+if not os.environ.get("JGTPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+
+@dataclass
+class Config:
+    """Live global configuration (the reference's ``template.config``)."""
+
+    #: solver progress verbosity 0..3 (reference @config(verbose=...))
+    verbose: int = 0
+    #: default label key type for new elements: ``int`` or ``str``
+    label_type: type = int
+    #: dtype for device state arrays (f64 default for oracle parity)
+    dtype: str = "float64"
+    #: dtype used inside MXU factorizations (iterative refinement recovers f64)
+    factor_dtype: str = "float32"
+
+
+config = Config()
+
+
+def set_config(**kwargs) -> None:
+    """Equivalent of the reference ``@config`` macro."""
+    for k, v in kwargs.items():
+        if not hasattr(config, k):
+            raise KeyError(f"unknown config key: {k}")
+        setattr(config, k, v)
+
+
+def default_config() -> None:
+    """Reset global config (part of the reference ``@default`` macro)."""
+    global config
+    config.verbose = 0
+    config.label_type = int
+    config.dtype = "float64"
+    config.factor_dtype = "float32"
