@@ -1,0 +1,75 @@
+"""Power-flow drivers (reference powerFlow!, acPowerFlow.jl:1389-1433 and
+dcPowerFlow.jl:159-178).
+
+For the iterative AC methods the whole mismatch/solve loop runs on device as
+one compiled ``lax.while_loop`` program; the host only reads back the final
+state and iteration count. Iteration semantics match the reference exactly:
+the count equals the number of linear solves performed, and convergence is
+judged on the freshly recomputed mismatches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..report.solver import print_exit, print_iteration, print_title
+from .ac import AcPowerFlow, _nr_solve
+
+
+def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
+               power: bool = False, current: bool = False,
+               verbose: int | None = None):
+    """Solve an analysis to convergence. Dispatches on the analysis type."""
+    from .dc import DcPowerFlow, dc_solve
+    if isinstance(analysis, DcPowerFlow):
+        dc_solve(analysis, verbose=verbose)
+        if power:
+            from ..postprocessing.dc import power as dc_power
+            dc_power(analysis)
+        return analysis
+
+    verbose = config.verbose if verbose is None else verbose
+    analysis._refresh_arrays()
+    method = analysis.method
+    method.iteration = 0
+
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+
+    if method.name == "newton_raphson":
+        vm, va, it, del_p, del_q, converged = _nr_solve(
+            analysis.arrays, vm, va, tolerance, iteration,
+            method.factorization)
+    elif method.name in ("fast_newton_raphson_bx", "fast_newton_raphson_xb"):
+        from .fast_decoupled import _fnr_solve
+        vm, va, it, del_p, del_q, converged = _fnr_solve(
+            analysis.arrays, vm, va, tolerance, iteration,
+            method.factorization)
+    elif method.name == "gauss_seidel":
+        from .gauss_seidel import _gs_solve
+        vm, va, it, del_p, del_q, converged = _gs_solve(
+            analysis.arrays, vm, va, tolerance, iteration)
+    else:
+        raise ValueError(f"unknown method {method.name}")
+
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    method.iteration = int(it)
+    method.converged = bool(converged)
+    method.max_mismatch_active = float(del_p)
+    method.max_mismatch_reactive = float(del_q)
+
+    if verbose:
+        print_title(method.name, verbose)
+        print_iteration(method.iteration, float(del_p), float(del_q), verbose)
+        print_exit(method.converged, method.iteration, verbose)
+
+    if power:
+        from ..postprocessing.ac import power as ac_power
+        ac_power(analysis)
+    if current:
+        from ..postprocessing.ac import current as ac_current
+        ac_current(analysis)
+    return analysis
