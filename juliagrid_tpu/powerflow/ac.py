@@ -170,6 +170,9 @@ def _nr_step(arr: AcArrays, vm, va, kind: str):
     return vm_new, va_new
 
 
+_nr_step_jit = jax.jit(_nr_step, static_argnames="kind")
+
+
 @partial(jax.jit, static_argnames=("kind", "max_iter"))
 def _nr_solve(arr: AcArrays, vm, va, tol: float, max_iter: int, kind: str):
     """Full NR driver as one XLA program (lax.while_loop)."""
@@ -239,6 +242,9 @@ class AcPowerFlow:
                 from .fast_decoupled import compile_fnr_arrays
                 self.arrays = compile_fnr_arrays(
                     self.system, self.method.name.endswith("bx"))
+            elif self.method.name == "gauss_seidel":
+                from .gauss_seidel import compile_gs_arrays
+                self.arrays = compile_gs_arrays(self.system)
             else:
                 self.arrays = compile_ac_arrays(self.system)
             sig["ac_model"] = rev.ac_model
@@ -344,7 +350,7 @@ def solve(analysis: AcPowerFlow):
         return gs_solve_step(analysis)
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)
-    vm, va = jax.jit(_nr_step, static_argnames="kind")(
+    vm, va = _nr_step_jit(
         analysis.arrays, vm, va, analysis.method.factorization)
     analysis.voltage.magnitude = np.asarray(vm)
     analysis.voltage.angle = np.asarray(va)

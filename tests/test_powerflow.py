@@ -32,3 +32,54 @@ def test_dc_power_flow_matpower(data_path, case):
     analysis = dc_power_flow(system)
     power_flow(analysis)
     assert_dc_voltage(golden, analysis)
+
+
+@pytest.mark.parametrize("case", ["case14test", "case30test"])
+@pytest.mark.parametrize("variant", ["BX", "XB"])
+def test_fast_newton_raphson_matpower(data_path, case, variant):
+    from juliagrid_tpu.powerflow.fast_decoupled import (
+        fast_newton_raphson_bx, fast_newton_raphson_xb)
+    system = jg.power_system(str(data_path / f"{case}.m"))
+    golden = h5group(data_path / "results.h5",
+                     f"{case}/fastNewtonRaphson{variant}")
+    build = fast_newton_raphson_bx if variant == "BX" else fast_newton_raphson_xb
+    analysis = build(system)
+    power_flow(analysis, iteration=30)
+    assert analysis.method.converged
+    assert_voltage(golden, analysis)
+
+
+@pytest.mark.parametrize("case", ["case14test", "case30test"])
+def test_gauss_seidel_matpower(data_path, case):
+    from juliagrid_tpu.powerflow.gauss_seidel import gauss_seidel
+    system = jg.power_system(str(data_path / f"{case}.m"))
+    golden = h5group(data_path / "results.h5", f"{case}/gaussSeidel")
+    analysis = gauss_seidel(system)
+    power_flow(analysis, iteration=900)
+    assert analysis.method.converged
+    assert_voltage(golden, analysis, atol=1e-8)
+
+
+def test_newton_raphson_powers(data_path):
+    from juliagrid_tpu.postprocessing.ac import current as ac_current
+    from juliagrid_tpu.postprocessing.ac import power as ac_power
+    from .utils import assert_bus_balance, assert_power
+    system = jg.power_system(str(data_path / "case14test.m"))
+    golden = h5group(data_path / "results.h5", "case14test/newtonRaphson")
+    analysis = newton_raphson(system)
+    power_flow(analysis)
+    ac_power(analysis)
+    ac_current(analysis)
+    assert_power(golden, analysis)
+    assert_bus_balance(analysis)
+
+
+def test_dc_power_flow_powers(data_path):
+    from juliagrid_tpu.postprocessing.dc import power as dc_power
+    from .utils import assert_dc_power
+    system = jg.power_system(str(data_path / "case14test.m"))
+    golden = h5group(data_path / "results.h5", "case14test/dcPowerFlow")
+    analysis = dc_power_flow(system)
+    power_flow(analysis)
+    dc_power(analysis)
+    assert_dc_power(golden, analysis)
