@@ -1,0 +1,626 @@
+"""AC state estimation: Gauss-Newton WLS over a measurement-row IR.
+
+TPU-native redesign of /root/reference/src/stateEstimation/
+acStateEstimation.jl. The reference builds a sparse stacked Jacobian with a
+giant per-row type switch re-filled each iteration (:261-583) and forms
+gain = HᵀWH with SpGEMM + KLU (:878-904). Here the 21 typed measurement
+rows (:131-236) are grouped by type into static index arrays; each group
+evaluates vectorized closed-form h(x) and derivative 4-tuples
+(ops/equations.py) scattered into a dense H (rows x 2n states). The gain
+matrix is one MXU matmul, the solve is mixed-precision LU (Normal) or QR of
+W^1/2 H (Orthogonal, reference :906-931), and the whole Gauss-Newton loop
+is a single ``lax.while_loop`` program. ``vmap`` over measurement means
+gives batched Monte-Carlo estimation with the H-pattern shared.
+
+PMU semantics are preserved exactly: polar vs rectangular rows, squared
+magnitudes (varianceSquare), rectangular error propagation
+(equations.jl:576-588), and correlated 2x2 precision blocks applied as
+paired row corrections to W H and W r.
+
+Iteration semantics match stateEstimation! (:1286-1329): the increment is
+computed, convergence is judged on max|dx| before applying, and the count
+equals the number of applied increments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import equations as eq
+from ..ops import linalg
+from ..system.model import model
+from ..system.types import PowerSystem
+from ..powerflow.ac import AcArrays, Polar, compile_ac_arrays
+
+# Branch-row group evaluation order (static): (type_code, coeff_fn, eval_fn)
+BRANCH_GROUPS = (
+    (2, eq.iij_coeff, eq.eval_iij),
+    (3, eq.iji_coeff, eq.eval_iji),
+    (4, eq.iij_coeff, eq.eval_iij2),
+    (5, eq.iji_coeff, eq.eval_iji2),
+    (7, eq.pij_coeff, eq.eval_pij),
+    (8, eq.pji_coeff, eq.eval_pji),
+    (10, eq.qij_coeff, eq.eval_qij),
+    (11, eq.qji_coeff, eq.eval_qji),
+    (14, eq.psi_ij_coeff, eq.eval_psi_ij),
+    (15, eq.psi_ji_coeff, eq.eval_psi_ji),
+    (18, eq.psi_ij_coeff, eq.eval_re_iij),
+    (19, eq.psi_ji_coeff, eq.eval_re_iji),
+    (20, eq.psi_ij_coeff, eq.eval_im_iij),
+    (21, eq.psi_ji_coeff, eq.eval_im_iji),
+)
+
+
+class BranchGroup(NamedTuple):
+    rows: jax.Array   # i32[k] measurement row ids
+    f: jax.Array      # i32[k] from-bus
+    t: jax.Array      # i32[k] to-bus
+    a: jax.Array      # f64[k] PiModel coefficients
+    b: jax.Array
+    c: jax.Array
+    d: jax.Array
+    phi: jax.Array    # f64[k] transformer shift angle
+
+
+class SeArrays(NamedTuple):
+    mean: jax.Array        # f64[m] (status-masked)
+    w: jax.Array           # f64[m] diagonal precision
+    status: jax.Array      # f64[m] 0/1 row mask
+    pair_r1: jax.Array     # i32[p] correlated PMU row pairs
+    pair_r2: jax.Array
+    pair_off: jax.Array    # f64[p] off-diagonal precision
+    slack: jax.Array       # i32
+    # voltage-magnitude rows (types 1, 12)
+    vm_rows: jax.Array
+    vm_bus: jax.Array
+    # voltage-angle rows (type 13)
+    va_rows: jax.Array
+    va_bus: jax.Array
+    # rectangular bus phasor rows (types 16, 17)
+    rev_rows: jax.Array
+    rev_bus: jax.Array
+    imv_rows: jax.Array
+    imv_bus: jax.Array
+    # branch groups, in BRANCH_GROUPS order
+    branch: tuple
+    # injection rows (types 6, 9): per-measurement and flattened Y entries
+    p_rows: jax.Array      # i32[mp]
+    p_bus: jax.Array
+    p_ent_meas: jax.Array  # i32[E] scatter: measurement row per Y entry
+    p_ent_k: jax.Array     # i32[E] Y entry index
+    q_rows: jax.Array
+    q_bus: jax.Array
+    q_ent_meas: jax.Array
+    q_ent_k: jax.Array
+
+
+@dataclass
+class SeMethod:
+    name: str
+    factorization: str = linalg.LU
+    iteration: int = 0
+    converged: bool = False
+    max_increment: float = np.inf
+    objective: float = 0.0
+    residual: Optional[np.ndarray] = None
+    jacobian: Optional[np.ndarray] = None
+    precision_diag: Optional[np.ndarray] = None
+    mean: Optional[np.ndarray] = None
+    type: Optional[np.ndarray] = None
+
+
+@dataclass
+class AcStateEstimation:
+    system: PowerSystem
+    monitoring: object
+    voltage: Polar
+    method: SeMethod
+    arrays: SeArrays
+    net: AcArrays
+    power: Optional[object] = None
+    current: Optional[object] = None
+    kind: str = "state_estimation"
+    signature: dict = field(default_factory=dict)
+
+    def _refresh_arrays(self):
+        rev = self.system.model.revision
+        mrev = self.monitoring.revision.measurement
+        sig = self.signature
+        if (sig.get("ac_model") != rev.ac_model
+                or sig.get("measurement") != mrev
+                or sig.get("slack") != rev.slack):
+            self.arrays, self.method.type = compile_se_arrays(
+                self.system, self.monitoring)
+            self.net = compile_ac_arrays(self.system)
+            sig.update(ac_model=rev.ac_model, measurement=mrev,
+                       slack=rev.slack)
+
+
+def compile_se_arrays(system: PowerSystem, monitoring):
+    """Build the measurement-row IR (reference acWLS, :77-259): rows in
+    device order — voltmeters, ammeters, wattmeters, varmeters, PMUs (PMUs
+    contribute two rows each)."""
+    model(system, "ac")
+    n = system.bus.number
+    volt, amp = monitoring.voltmeter, monitoring.ammeter
+    watt, var, pmu = monitoring.wattmeter, monitoring.varmeter, monitoring.pmu
+
+    coo = system.model.ac.nodal.tocoo()
+    order = np.lexsort((coo.col, coo.row))
+    yrows = coo.row[order]
+
+    mean, w, status, types = [], [], [], []
+    vm_rows, vm_bus, va_rows, va_bus = [], [], [], []
+    rev_rows, rev_bus, imv_rows, imv_bus = [], [], [], []
+    br_groups = {t: ([], []) for t, _, _ in BRANCH_GROUPS}  # rows, branch
+    p_rows, p_bus, q_rows, q_bus = [], [], [], []
+    pair_r1, pair_r2, pair_off = [], [], []
+
+    row = 0
+
+    def push(m_, v_, st_, ty_):
+        nonlocal row
+        mean.append(st_ * m_)
+        w.append(1.0 / v_)
+        status.append(float(st_))
+        types.append(ty_)
+        row += 1
+
+    for i in range(volt.number):
+        k = int(volt.layout.index[i])
+        st = int(volt.magnitude.status[i])
+        vm_rows.append(row)
+        vm_bus.append(k)
+        push(volt.magnitude.mean[i], volt.magnitude.variance[i], st, 1)
+
+    for i in range(amp.number):
+        k = int(amp.layout.index[i])
+        st = int(amp.magnitude.status[i])
+        sq = bool(amp.layout.square[i])
+        is_from = bool(amp.layout.from_[i])
+        ty = (4 if is_from else 5) if sq else (2 if is_from else 3)
+        br_groups[ty][0].append(row)
+        br_groups[ty][1].append(k)
+        m_val = amp.magnitude.mean[i] ** (2 if sq else 1)
+        v_val = amp.magnitude.variance[i]
+        if sq:
+            v_val = 4 * amp.magnitude.mean[i] ** 2 * v_val
+        push(m_val, v_val, st, ty)
+
+    for i in range(watt.number):
+        k = int(watt.layout.index[i])
+        st = int(watt.active.status[i])
+        if watt.layout.bus[i]:
+            p_rows.append(row)
+            p_bus.append(k)
+            push(watt.active.mean[i], watt.active.variance[i], st, 6)
+        else:
+            ty = 7 if watt.layout.from_[i] else 8
+            br_groups[ty][0].append(row)
+            br_groups[ty][1].append(k)
+            push(watt.active.mean[i], watt.active.variance[i], st, ty)
+
+    for i in range(var.number):
+        k = int(var.layout.index[i])
+        st = int(var.reactive.status[i])
+        if var.layout.bus[i]:
+            q_rows.append(row)
+            q_bus.append(k)
+            push(var.reactive.mean[i], var.reactive.variance[i], st, 9)
+        else:
+            ty = 10 if var.layout.from_[i] else 11
+            br_groups[ty][0].append(row)
+            br_groups[ty][1].append(k)
+            push(var.reactive.mean[i], var.reactive.variance[i], st, ty)
+
+    for i in range(pmu.number):
+        k = int(pmu.layout.index[i])
+        st_m = int(pmu.magnitude.status[i])
+        st_a = int(pmu.angle.status[i])
+        if pmu.layout.polar[i]:
+            sq = bool(pmu.layout.square[i])
+            if pmu.layout.bus[i]:
+                vm_rows.append(row)
+                vm_bus.append(k)
+                push(pmu.magnitude.mean[i], pmu.magnitude.variance[i],
+                     st_m, 12)
+                va_rows.append(row)
+                va_bus.append(k)
+                push(pmu.angle.mean[i], pmu.angle.variance[i], st_a, 13)
+            else:
+                is_from = bool(pmu.layout.from_[i])
+                ty = (4 if is_from else 5) if sq else (2 if is_from else 3)
+                br_groups[ty][0].append(row)
+                br_groups[ty][1].append(k)
+                m_val = pmu.magnitude.mean[i] ** (2 if sq else 1)
+                v_val = pmu.magnitude.variance[i]
+                if sq:
+                    v_val = 4 * pmu.magnitude.mean[i] ** 2 * v_val
+                push(m_val, v_val, st_m, ty)
+                ty_a = 14 if is_from else 15
+                br_groups[ty_a][0].append(row)
+                br_groups[ty_a][1].append(k)
+                push(pmu.angle.mean[i], pmu.angle.variance[i], st_a, ty_a)
+        else:
+            st = st_m * st_a
+            mag, ang = pmu.magnitude.mean[i], pmu.angle.mean[i]
+            cos_t, sin_t = np.cos(ang), np.sin(ang)
+            var_re, var_im = eq.variance_pmu(
+                pmu.magnitude.variance[i], pmu.angle.variance[i],
+                mag, cos_t, sin_t)
+            if pmu.layout.correlated[i]:
+                w11, w22, off = eq.covariance_pmu(
+                    pmu.magnitude.variance[i], pmu.angle.variance[i],
+                    mag, cos_t, sin_t, var_re, var_im)
+                pair_r1.append(row)
+                pair_r2.append(row + 1)
+                pair_off.append(off)
+                weights = (w11, w22)
+            else:
+                weights = (1.0 / var_re, 1.0 / var_im)
+            if pmu.layout.bus[i]:
+                rev_rows.append(row)
+                rev_bus.append(k)
+                mean.append(st * mag * cos_t)
+                w.append(weights[0])
+                status.append(float(st))
+                types.append(16)
+                row += 1
+                imv_rows.append(row)
+                imv_bus.append(k)
+                mean.append(st * mag * sin_t)
+                w.append(weights[1])
+                status.append(float(st))
+                types.append(17)
+                row += 1
+            else:
+                is_from = bool(pmu.layout.from_[i])
+                ty_re = 18 if is_from else 19
+                ty_im = 20 if is_from else 21
+                br_groups[ty_re][0].append(row)
+                br_groups[ty_re][1].append(k)
+                mean.append(st * mag * cos_t)
+                w.append(weights[0])
+                status.append(float(st))
+                types.append(ty_re)
+                row += 1
+                br_groups[ty_im][0].append(row)
+                br_groups[ty_im][1].append(k)
+                mean.append(st * mag * sin_t)
+                w.append(weights[1])
+                status.append(float(st))
+                types.append(ty_im)
+                row += 1
+
+    # ---- device arrays ---------------------------------------------------
+    f_all = system.branch.layout.from_bus.array[: system.branch.number]
+    t_all = system.branch.layout.to_bus.array[: system.branch.number]
+
+    groups = []
+    for ty, coeff_fn, _ in BRANCH_GROUPS:
+        rows_, brs_ = br_groups[ty]
+        brs_np = np.asarray(brs_, dtype=np.int64)
+        co = coeff_fn(system, brs_np) if len(brs_) else eq.PiCoeff(
+            *(np.empty(0),) * 4)
+        phi_all = system.branch.parameter.shift_angle.array[
+            : system.branch.number]
+        groups.append(BranchGroup(
+            rows=jnp.asarray(np.asarray(rows_, dtype=np.int32)),
+            f=jnp.asarray(f_all[brs_np].astype(np.int32)),
+            t=jnp.asarray(t_all[brs_np].astype(np.int32)),
+            a=jnp.asarray(co.a), b=jnp.asarray(co.b),
+            c=jnp.asarray(co.c), d=jnp.asarray(co.d),
+            phi=jnp.asarray(phi_all[brs_np])))
+
+    def _inj_entries(rows_list, bus_list):
+        ent_meas, ent_k = [], []
+        for r_, b_ in zip(rows_list, bus_list):
+            ks = np.flatnonzero(yrows == b_)
+            ent_meas.extend([r_] * len(ks))
+            ent_k.extend(ks.tolist())
+        return (jnp.asarray(np.asarray(ent_meas, dtype=np.int32)),
+                jnp.asarray(np.asarray(ent_k, dtype=np.int32)))
+
+    p_ent_meas, p_ent_k = _inj_entries(p_rows, p_bus)
+    q_ent_meas, q_ent_k = _inj_entries(q_rows, q_bus)
+
+    arr = SeArrays(
+        mean=jnp.asarray(np.asarray(mean)),
+        w=jnp.asarray(np.asarray(w)),
+        status=jnp.asarray(np.asarray(status)),
+        pair_r1=jnp.asarray(np.asarray(pair_r1, dtype=np.int32)),
+        pair_r2=jnp.asarray(np.asarray(pair_r2, dtype=np.int32)),
+        pair_off=jnp.asarray(np.asarray(pair_off)),
+        slack=jnp.asarray(system.bus.layout.slack, dtype=jnp.int32),
+        vm_rows=jnp.asarray(np.asarray(vm_rows, dtype=np.int32)),
+        vm_bus=jnp.asarray(np.asarray(vm_bus, dtype=np.int32)),
+        va_rows=jnp.asarray(np.asarray(va_rows, dtype=np.int32)),
+        va_bus=jnp.asarray(np.asarray(va_bus, dtype=np.int32)),
+        rev_rows=jnp.asarray(np.asarray(rev_rows, dtype=np.int32)),
+        rev_bus=jnp.asarray(np.asarray(rev_bus, dtype=np.int32)),
+        imv_rows=jnp.asarray(np.asarray(imv_rows, dtype=np.int32)),
+        imv_bus=jnp.asarray(np.asarray(imv_bus, dtype=np.int32)),
+        branch=tuple(groups),
+        p_rows=jnp.asarray(np.asarray(p_rows, dtype=np.int32)),
+        p_bus=jnp.asarray(np.asarray(p_bus, dtype=np.int32)),
+        p_ent_meas=p_ent_meas, p_ent_k=p_ent_k,
+        q_rows=jnp.asarray(np.asarray(q_rows, dtype=np.int32)),
+        q_bus=jnp.asarray(np.asarray(q_bus, dtype=np.int32)),
+        q_ent_meas=q_ent_meas, q_ent_k=q_ent_k,
+    )
+    return arr, np.asarray(types, dtype=np.int8)
+
+
+# --------------------------------------------------------------------------
+# Jacobian/residual evaluation (pure)
+# --------------------------------------------------------------------------
+
+def build_h(arr: SeArrays, net: AcArrays, vm, va):
+    """Dense measurement Jacobian H (m x 2n) and model values h(x)."""
+    n = vm.shape[0]
+    m = arr.mean.shape[0]
+    H = jnp.zeros((m, 2 * n), dtype=vm.dtype)
+    h = jnp.zeros(m, dtype=vm.dtype)
+
+    # voltage magnitude rows (1, 12)
+    H = H.at[arr.vm_rows, n + arr.vm_bus].add(1.0)
+    h = h.at[arr.vm_rows].add(vm[arr.vm_bus])
+    # voltage angle rows (13)
+    H = H.at[arr.va_rows, arr.va_bus].add(1.0)
+    h = h.at[arr.va_rows].add(va[arr.va_bus])
+    # rectangular bus phasors (16, 17)
+    cb = jnp.cos(va[arr.rev_bus])
+    sb = jnp.sin(va[arr.rev_bus])
+    H = H.at[arr.rev_rows, arr.rev_bus].add(-vm[arr.rev_bus] * sb)
+    H = H.at[arr.rev_rows, n + arr.rev_bus].add(cb)
+    h = h.at[arr.rev_rows].add(vm[arr.rev_bus] * cb)
+    ci = jnp.cos(va[arr.imv_bus])
+    si = jnp.sin(va[arr.imv_bus])
+    H = H.at[arr.imv_rows, arr.imv_bus].add(vm[arr.imv_bus] * ci)
+    H = H.at[arr.imv_rows, n + arr.imv_bus].add(si)
+    h = h.at[arr.imv_rows].add(vm[arr.imv_bus] * si)
+
+    # branch groups
+    for (ty, _, eval_fn), grp in zip(BRANCH_GROUPS, arr.branch):
+        if grp.rows.shape[0] == 0:
+            continue
+        vi, vj = vm[grp.f], vm[grp.t]
+        ti, tj = va[grp.f], va[grp.t]
+        # the reference evaluates branch rows at θij - φ (equations.jl:
+        # ViVjθijState / ViVjθiθjState / VjViθjθiState): from-side rows
+        # shift θj by +φ, to-side phasor rows shift θi by -φ.
+        if ty in (15, 19, 21):
+            ti = ti - grp.phi
+        else:
+            tj = tj + grp.phi
+        co = eq.PiCoeff(grp.a, grp.b, grp.c, grp.d)
+        hv, dti, dtj, dvi, dvj = eval_fn(co, vi, vj, ti, tj)
+        h = h.at[grp.rows].add(hv)
+        H = H.at[grp.rows, grp.f].add(dti)
+        H = H.at[grp.rows, grp.t].add(dtj)
+        H = H.at[grp.rows, n + grp.f].add(dvi)
+        H = H.at[grp.rows, n + grp.t].add(dvj)
+
+    # injections (6, 9)
+    if arr.p_rows.shape[0] or arr.q_rows.shape[0]:
+        vi_e = vm[net.rows]
+        vj_e = vm[net.cols]
+        th_e = va[net.rows] - va[net.cols]
+        st_e, ct_e = jnp.sin(th_e), jnp.cos(th_e)
+        vv = vi_e * vj_e
+        t1 = vv * (net.yg * ct_e + net.yb * st_e)
+        t2 = vv * (net.yg * st_e - net.yb * ct_e)
+        p_bus_all = jax.ops.segment_sum(t1, net.rows, num_segments=n)
+        q_bus_all = jax.ops.segment_sum(t2, net.rows, num_segments=n)
+        off = (net.rows != net.cols).astype(vm.dtype)
+        # dP/dθj, dP/dVj per entry (off-diagonal)
+        dp_dtj = t2 * off
+        dp_dvj = (vi_e * (net.yg * ct_e + net.yb * st_e)) * off
+        dq_dtj = -t1 * off
+        dq_dvj = (vi_e * (net.yg * st_e - net.yb * ct_e)) * off
+        gii = net.yg[net.diag]
+        bii = net.yb[net.diag]
+
+        if arr.p_rows.shape[0]:
+            h = h.at[arr.p_rows].add(p_bus_all[arr.p_bus])
+            ke = arr.p_ent_k
+            H = H.at[arr.p_ent_meas, net.cols[ke]].add(dp_dtj[ke])
+            H = H.at[arr.p_ent_meas, n + net.cols[ke]].add(dp_dvj[ke])
+            pb = arr.p_bus
+            H = H.at[arr.p_rows, pb].add(
+                -q_bus_all[pb] - bii[pb] * vm[pb] ** 2)
+            H = H.at[arr.p_rows, n + pb].add(
+                p_bus_all[pb] / vm[pb] + gii[pb] * vm[pb])
+        if arr.q_rows.shape[0]:
+            h = h.at[arr.q_rows].add(q_bus_all[arr.q_bus])
+            ke = arr.q_ent_k
+            H = H.at[arr.q_ent_meas, net.cols[ke]].add(dq_dtj[ke])
+            H = H.at[arr.q_ent_meas, n + net.cols[ke]].add(dq_dvj[ke])
+            qb = arr.q_bus
+            H = H.at[arr.q_rows, qb].add(
+                p_bus_all[qb] - gii[qb] * vm[qb] ** 2)
+            H = H.at[arr.q_rows, n + qb].add(
+                q_bus_all[qb] / vm[qb] - bii[qb] * vm[qb])
+
+    H = H * arr.status[:, None]
+    h = h * arr.status
+    return H, h
+
+
+def _weighted(arr: SeArrays, H, r):
+    """Apply W (diagonal + correlated 2x2 blocks) to H and r."""
+    WH = arr.w[:, None] * H
+    wr = arr.w * r
+    if arr.pair_r1.shape[0]:
+        WH = WH.at[arr.pair_r1].add(arr.pair_off[:, None] * H[arr.pair_r2])
+        WH = WH.at[arr.pair_r2].add(arr.pair_off[:, None] * H[arr.pair_r1])
+        wr = wr.at[arr.pair_r1].add(arr.pair_off * r[arr.pair_r2])
+        wr = wr.at[arr.pair_r2].add(arr.pair_off * r[arr.pair_r1])
+    return WH, wr
+
+
+def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
+    """One Gauss-Newton increment (reference increment!, :878-931)."""
+    n = vm.shape[0]
+    H, h = build_h(arr, net, vm, va)
+    r = arr.mean - h
+    col_mask = jnp.ones(2 * n, dtype=vm.dtype).at[arr.slack].set(0.0)
+    Hm = H * col_mask[None, :]
+
+    if kind == linalg.QR:
+        # Orthogonal: QR of W^1/2 H (diagonal weights only)
+        sw = jnp.sqrt(arr.w)[:, None]
+        A = sw * Hm
+        # append identity row for the slack column to keep A full rank
+        e = jnp.zeros((1, 2 * n), dtype=vm.dtype).at[0, arr.slack].set(1.0)
+        A = jnp.concatenate([A, e], axis=0)
+        b = jnp.concatenate([jnp.sqrt(arr.w) * r, jnp.zeros(1)])
+        dx = linalg.solve(linalg.factorize(A, linalg.QR), b)
+    else:
+        WH, wr = _weighted(arr, Hm, r)
+        gain = Hm.T @ WH + jnp.diag(1.0 - col_mask)
+        rhs = Hm.T @ wr
+        dx = linalg.solve(linalg.factorize(gain, linalg.LU), rhs)
+    dx = dx * col_mask
+    return dx, jnp.max(jnp.abs(dx))
+
+
+@partial(jax.jit, static_argnames=("kind", "max_iter"))
+def _se_solve(arr: SeArrays, net: AcArrays, vm, va, tol: float,
+              max_iter: int, kind: str):
+    dx, maxinc = gn_increment(arr, net, vm, va, kind)
+    n = vm.shape[0]
+
+    def cond(carry):
+        vm, va, dx, maxinc, it = carry
+        return (maxinc >= tol) & (it < max_iter)
+
+    def body(carry):
+        vm, va, dx, _, it = carry
+        va = va + dx[:n]
+        vm = vm + dx[n:]
+        dx, maxinc = gn_increment(arr, net, vm, va, kind)
+        return vm, va, dx, maxinc, it + 1
+
+    vm, va, dx, maxinc, it = jax.lax.while_loop(
+        cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
+    return vm, va, it, maxinc, maxinc < tol
+
+
+_gn_increment_jit = jax.jit(gn_increment, static_argnames="kind")
+_build_h_jit = jax.jit(build_h)
+
+
+# --------------------------------------------------------------------------
+# API
+# --------------------------------------------------------------------------
+
+def gauss_newton(monitoring, factorization: str = linalg.LU
+                 ) -> AcStateEstimation:
+    """Reference gaussNewton (acStateEstimation.jl:43-75)."""
+    system = monitoring.system
+    system.check_slack()
+    model(system, "ac")
+    n = system.bus.number
+    arr, types = compile_se_arrays(system, monitoring)
+    net = compile_ac_arrays(system)
+    rev = system.model.revision
+    method = SeMethod("gauss_newton", factorization)
+    method.type = types
+    return AcStateEstimation(
+        system=system,
+        monitoring=monitoring,
+        voltage=Polar(system.bus.voltage.magnitude.array[:n].copy(),
+                      system.bus.voltage.angle.array[:n].copy()),
+        method=method,
+        arrays=arr,
+        net=net,
+        signature={"ac_model": rev.ac_model,
+                   "measurement": monitoring.revision.measurement,
+                   "slack": rev.slack},
+    )
+
+
+def increment(analysis: AcStateEstimation) -> float:
+    """Reference increment!: compute (but do not apply) the GN step."""
+    analysis._refresh_arrays()
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    kind = linalg.QR if analysis.method.factorization == linalg.QR \
+        else linalg.LU
+    dx, maxinc = _gn_increment_jit(analysis.arrays, analysis.net, vm, va,
+                                   kind)
+    analysis.method._pending_dx = np.asarray(dx)
+    analysis.method.max_increment = float(maxinc)
+    return float(maxinc)
+
+
+def solve(analysis: AcStateEstimation):
+    """Reference solve!: apply the pending increment."""
+    dx = getattr(analysis.method, "_pending_dx", None)
+    if dx is None:
+        increment(analysis)
+        dx = analysis.method._pending_dx
+    n = analysis.system.bus.number
+    analysis.voltage.angle = analysis.voltage.angle + dx[:n]
+    analysis.voltage.magnitude = analysis.voltage.magnitude + dx[n:]
+    analysis.method.iteration += 1
+    analysis.method._pending_dx = None
+
+
+def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
+                     power: bool = False, current: bool = False,
+                     verbose: int | None = None):
+    """Reference stateEstimation! driver. Dispatches on analysis type."""
+    from .dcse import DcStateEstimation, dc_se_solve
+    from .pmuse import PmuStateEstimation, pmu_se_solve
+    if isinstance(analysis, DcStateEstimation):
+        return dc_se_solve(analysis, power=power)
+    if isinstance(analysis, PmuStateEstimation):
+        return pmu_se_solve(analysis, power=power, current=current)
+    if analysis.method.name == "lav":
+        from .lav import lav_solve
+        return lav_solve(analysis, iteration=iteration, power=power,
+                         current=current)
+
+    analysis._refresh_arrays()
+    analysis.method.iteration = 0
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    kind = linalg.QR if analysis.method.factorization == linalg.QR \
+        else linalg.LU
+    vm, va, it, maxinc, converged = _se_solve(
+        analysis.arrays, analysis.net, vm, va, tolerance, iteration, kind)
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    analysis.method.iteration = int(it)
+    analysis.method.converged = bool(converged)
+    analysis.method.max_increment = float(maxinc)
+
+    if power:
+        from ..postprocessing.ac import power as ac_power
+        ac_power(analysis)
+    if current:
+        from ..postprocessing.ac import current as ac_current
+        ac_current(analysis)
+    return analysis
+
+
+def residuals(analysis: AcStateEstimation):
+    """Measurement residuals r = z - h(x) at the current state (host)."""
+    analysis._refresh_arrays()
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    H, h = _build_h_jit(analysis.arrays, analysis.net, vm, va)
+    r = np.asarray(analysis.arrays.mean) - np.asarray(h)
+    analysis.method.residual = r
+    analysis.method.jacobian = np.asarray(H)
+    analysis.method.precision_diag = np.asarray(analysis.arrays.w)
+    analysis.method.mean = np.asarray(analysis.arrays.mean)
+    return r

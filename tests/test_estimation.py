@@ -1,0 +1,128 @@
+"""State-estimation tests following the reference strategy: build
+measurements from an exact power-flow solution with zero noise and assert
+the estimator reproduces the power-flow voltages
+(/root/reference/test/stateEstimation/analysis.jl:19-80 pattern)."""
+
+import numpy as np
+import pytest
+
+import juliagrid_tpu as jg
+from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+from juliagrid_tpu.estimation.dcse import dc_state_estimation
+from juliagrid_tpu.estimation.pmuse import pmu_state_estimation
+from juliagrid_tpu.measurement.devices import (add_pmu, add_varmeter,
+                                               add_voltmeter, add_wattmeter,
+                                               add_ammeter)
+from juliagrid_tpu.measurement.load import measurement
+from juliagrid_tpu.postprocessing.ac import current as ac_current
+from juliagrid_tpu.postprocessing.ac import power as ac_power
+from juliagrid_tpu.postprocessing.dc import power as dc_power
+from juliagrid_tpu.powerflow.ac import newton_raphson
+from juliagrid_tpu.powerflow.dc import dc_power_flow
+from juliagrid_tpu.powerflow.driver import power_flow
+
+
+@pytest.fixture(scope="module")
+def solved14(data_path):
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf)
+    ac_power(pf)
+    ac_current(pf)
+    return system, pf
+
+
+def test_ac_se_wls_reproduces_pf(solved14):
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+    assert se.method.converged
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-8)
+
+
+def test_ac_se_wls_with_ammeters_pmus(solved14):
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    add_ammeter(monitoring, analysis=pf)
+    add_pmu(monitoring, analysis=pf)
+
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+    assert se.method.converged
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-8)
+
+
+def test_ac_se_wls_polar_correlated_pmus(solved14):
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    add_pmu(monitoring, analysis=pf, polar=True,
+            status_from=-1, status_to=-1)
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+    assert se.method.converged
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+
+    monitoring2 = measurement(system)
+    add_voltmeter(monitoring2, analysis=pf)
+    add_wattmeter(monitoring2, analysis=pf)
+    add_varmeter(monitoring2, analysis=pf)
+    add_pmu(monitoring2, analysis=pf, correlated=True)
+    se2 = gauss_newton(monitoring2)
+    state_estimation(se2)
+    assert se2.method.converged
+    np.testing.assert_allclose(se2.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+
+
+def test_ac_se_orthogonal(solved14):
+    from juliagrid_tpu.ops import linalg
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    se = gauss_newton(monitoring, factorization=linalg.QR)
+    state_estimation(se)
+    assert se.method.converged
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+
+
+def test_pmu_se_reproduces_pf(solved14):
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_pmu(monitoring, analysis=pf)
+    se = pmu_state_estimation(monitoring)
+    state_estimation(se)
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-8)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-8)
+
+
+def test_dc_se_reproduces_dc_pf(data_path):
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = dc_power_flow(system)
+    power_flow(pf)
+    dc_power(pf)
+
+    monitoring = measurement(system)
+    add_wattmeter(monitoring, analysis=pf)
+    se = dc_state_estimation(monitoring)
+    state_estimation(se)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-8)
