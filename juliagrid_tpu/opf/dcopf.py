@@ -1,0 +1,306 @@
+"""DC optimal power flow on the in-house interior-point solver.
+
+Model parity with /root/reference/src/optimalPowerFlow/dcOptimalPowerFlow.jl:
+variables θ (all buses, slack fixed) and Pg (all generators, out-of-service
+fixed at 0) plus epigraph helpers for piecewise costs (>2 points); balance
+equalities with rhs = demand + shunt conductance + shift power (:229-255);
+capability boxes; flow limits only when a bound is nonzero and finite
+(:258-277); angle-difference limits when meaningful (acOptimalPowerFlow.jl
+addAngle); cost machinery: polynomial (last-3 quadratic truncation,
+utility.jl:473-510), 2-point piecewise as affine, >2-point piecewise as
+epigraph cuts (acOptimalPowerFlow.jl:436-484).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..postprocessing.results import Cartesian, DcPower
+from ..powerflow.dc import Angle
+from ..system.model import model
+from ..system.types import PowerSystem
+from .ipm import IpmResult, NlpProblem, solve_nlp
+
+
+@dataclass
+class OpfMethod:
+    name: str
+    result: Optional[IpmResult] = None
+    iteration: int = 0
+    converged: bool = False
+    objective: float = 0.0
+    dual: dict = field(default_factory=dict)
+
+
+@dataclass
+class DcOptimalPowerFlow:
+    system: PowerSystem
+    voltage: Angle
+    power: DcPower
+    method: OpfMethod
+    kind: str = "optimal_power_flow"
+    _spec: Optional[object] = None
+    #: warm-start state vector (reference setInitialPoint! semantics)
+    _x0: Optional[np.ndarray] = None
+
+
+class _DcSpec:
+    """Host-compiled problem structure (indices + constants)."""
+
+    def __init__(self, system: PowerSystem):
+        model(system, "dc")
+        n = system.bus.number
+        g = system.generator.number
+        gen = system.generator
+        bus = system.bus
+
+        self.n, self.g = n, g
+        self.slack = bus.layout.slack
+        self.slack_angle = float(bus.voltage.angle[self.slack])
+        self.b_dense = jnp.asarray(np.asarray(system.model.dc.nodal.todense()))
+        self.rhs = jnp.asarray(
+            bus.demand.active.array[:n] + bus.shunt.conductance.array[:n]
+            + system.model.dc.shift_power)
+        self.gen_bus = jnp.asarray(
+            gen.layout.bus.array[:g].astype(np.int32))
+        self.gen_on = gen.layout.status.array[:g] == 1
+
+        # piecewise helpers
+        self.pw_gens = []       # gens with >2 piecewise points
+        self.pw_cuts = []       # (gen_pos_in_x, helper_pos, slope, intercept)
+        self.obj_quad = np.zeros(g)
+        self.obj_lin = np.zeros(g)
+        self.obj_const = 0.0
+
+        cost = gen.cost.active
+        for i in range(g):
+            if not self.gen_on[i]:
+                continue
+            cmodel = int(cost.model[i]) if i < len(cost.model) else 0
+            if cmodel == 2:
+                poly = cost.polynomial[i]
+                if len(poly) >= 3:
+                    self.obj_quad[i] = poly[-3]
+                    self.obj_lin[i] = poly[-2]
+                    self.obj_const += poly[-1]
+                elif len(poly) == 2:
+                    self.obj_lin[i] = poly[0]
+                    self.obj_const += poly[1]
+                elif len(poly) == 1:
+                    self.obj_const += poly[0]
+            elif cmodel == 1:
+                pts = cost.piecewise[i]
+                if len(pts) == 2:
+                    slope = (pts[1, 1] - pts[0, 1]) / (pts[1, 0] - pts[0, 0])
+                    self.obj_lin[i] += slope
+                    self.obj_const += pts[0, 1] - pts[0, 0] * slope
+                elif len(pts) > 2:
+                    hpos = len(self.pw_gens)
+                    self.pw_gens.append(i)
+                    for k in range(1, len(pts)):
+                        slope = ((pts[k, 1] - pts[k - 1, 1])
+                                 / (pts[k, 0] - pts[k - 1, 0]))
+                        if not np.isfinite(slope):
+                            raise ValueError(
+                                "piecewise cost has an infinite slope")
+                        self.pw_cuts.append(
+                            (i, hpos, slope,
+                             slope * pts[k - 1, 0] - pts[k - 1, 1]))
+                else:
+                    raise ValueError(
+                        "piecewise cost requires at least two points")
+
+        self.n_h = len(self.pw_gens)
+        self.n_x = n + g + self.n_h
+
+        # inequality bookkeeping (kind, info) in order of c_I entries
+        self.ineq_tags = []
+
+        cap_lo, cap_hi = [], []
+        for i in range(g):
+            if not self.gen_on[i]:
+                continue
+            lo = gen.capability.min_active[i]
+            hi = gen.capability.max_active[i]
+            if np.isfinite(lo):
+                cap_lo.append((i, float(lo)))
+                self.ineq_tags.append(("capability_min", i))
+            if np.isfinite(hi):
+                cap_hi.append((i, float(hi)))
+                self.ineq_tags.append(("capability_max", i))
+        self.cap_lo = cap_lo
+        self.cap_hi = cap_hi
+
+        m = system.branch.number
+        br = system.branch
+        flows = []
+        for k in range(m):
+            if br.layout.status[k] != 1:
+                continue
+            lo = br.flow.min_from_bus[k]
+            hi = br.flow.max_from_bus[k]
+            if (lo != 0.0 and np.isfinite(lo)) or (hi != 0.0
+                                                   and np.isfinite(hi)):
+                adm = system.model.dc.admittance[k]
+                flows.append((int(br.layout.from_bus[k]),
+                              int(br.layout.to_bus[k]),
+                              float(adm), float(br.parameter.shift_angle[k]),
+                              float(lo), float(hi), k))
+                if np.isfinite(lo):
+                    self.ineq_tags.append(("flow_min", k))
+                if np.isfinite(hi):
+                    self.ineq_tags.append(("flow_max", k))
+        self.flows = flows
+
+        angles = []
+        two_pi = 2 * np.pi
+        for k in range(m):
+            if br.layout.status[k] != 1:
+                continue
+            lo = br.voltage.min_diff_angle[k] if len(
+                br.voltage.min_diff_angle) else -two_pi
+            hi = br.voltage.max_diff_angle[k] if len(
+                br.voltage.max_diff_angle) else two_pi
+            meaningful = ((np.isfinite(lo) and lo not in (0.0, -two_pi))
+                          or (np.isfinite(hi) and hi not in (0.0, two_pi)))
+            if meaningful:
+                angles.append((int(br.layout.from_bus[k]),
+                               int(br.layout.to_bus[k]), float(lo),
+                               float(hi), k))
+                self.ineq_tags.append(("angle_min", k))
+                self.ineq_tags.append(("angle_max", k))
+        self.angles = angles
+
+        for (gi, hpos, slope, icept) in self.pw_cuts:
+            self.ineq_tags.append(("piecewise", gi))
+
+    # ---- NLP functions ---------------------------------------------------
+
+    def split(self, x):
+        n, g = self.n, self.g
+        return x[:n], x[n:n + g], x[n + g:]
+
+    def objective(self, x):
+        theta, pg, h = self.split(x)
+        val = (jnp.sum(jnp.asarray(self.obj_quad) * pg**2)
+               + jnp.sum(jnp.asarray(self.obj_lin) * pg)
+               + self.obj_const)
+        if self.n_h:
+            val = val + jnp.sum(h)
+        return val
+
+    def eq(self, x):
+        theta, pg, h = self.split(x)
+        inj = jnp.zeros(self.n).at[self.gen_bus].add(
+            jnp.where(jnp.asarray(self.gen_on), pg, 0.0))
+        balance = inj - self.b_dense @ theta - self.rhs
+        out = [balance, jnp.array([theta[self.slack] - self.slack_angle])]
+        off = ~jnp.asarray(self.gen_on)
+        if bool(np.any(~self.gen_on)):
+            out.append(pg[np.flatnonzero(~self.gen_on)])
+        return jnp.concatenate(out)
+
+    def ineq(self, x):
+        theta, pg, h = self.split(x)
+        out = []
+        for i, lo in self.cap_lo:
+            out.append(pg[i] - lo)
+        for i, hi in self.cap_hi:
+            out.append(hi - pg[i])
+        for (f, t, adm, phi, lo, hi, _k) in self.flows:
+            flow = adm * (theta[f] - theta[t] - phi)
+            if np.isfinite(lo):
+                out.append(flow - lo)
+            if np.isfinite(hi):
+                out.append(hi - flow)
+        for (f, t, lo, hi, _k) in self.angles:
+            diff = theta[f] - theta[t]
+            out.append(diff - lo)
+            out.append(hi - diff)
+        for (gi, hpos, slope, icept) in self.pw_cuts:
+            out.append(icept - slope * pg[gi] + h[hpos])
+        if not out:
+            return None
+        return jnp.stack([jnp.asarray(v) for v in out])
+
+
+def dc_optimal_power_flow(system: PowerSystem) -> DcOptimalPowerFlow:
+    """Reference dcOptimalPowerFlow (dcOptimalPowerFlow.jl:44-198); the
+    optimizer argument is implicit — the in-house IPM."""
+    system.check_slack()
+    model(system, "dc")
+    spec = _DcSpec(system)
+    n, g = spec.n, spec.g
+    x0 = np.zeros(spec.n_x)
+    x0[:n] = system.bus.voltage.angle.array[:n]
+    x0[n:n + g] = system.generator.output.active.array[:g]
+    if spec.n_h:
+        x0[n + g:] = 1.0
+    power = DcPower(generator=Cartesian(
+        active=system.generator.output.active.array[:g].copy()))
+    analysis = DcOptimalPowerFlow(
+        system=system,
+        voltage=Angle(system.bus.voltage.angle.array[:n].copy()),
+        power=power,
+        method=OpfMethod("dc_optimal_power_flow"),
+    )
+    analysis._spec = spec
+    analysis._x0 = x0
+    return analysis
+
+
+def solve(analysis: DcOptimalPowerFlow, max_iter: int = 200,
+          tolerance: float = 1e-9, verbose: int = 0) -> DcOptimalPowerFlow:
+    """Reference solve! — runs the IPM and harvests primal/duals."""
+    spec = analysis._spec
+    has_ineq = spec.ineq(jnp.asarray(analysis._x0)) is not None
+    problem = NlpProblem(
+        objective=spec.objective,
+        eq=spec.eq,
+        ineq=spec.ineq if has_ineq else None)
+    res = solve_nlp(problem, analysis._x0, max_iter=max_iter,
+                    tol=tolerance, verbose=verbose)
+    analysis.method.result = res
+    analysis.method.iteration = res.iterations
+    analysis.method.converged = res.converged
+    analysis.method.objective = res.objective
+
+    n, g = spec.n, spec.g
+    theta = res.x[:n]
+    pg = res.x[n:n + g].copy()
+    pg[~spec.gen_on] = 0.0
+    analysis.voltage.angle = theta
+    analysis.power.generator = Cartesian(active=pg)
+    analysis._x0 = res.x  # warm start for the next solve
+
+    # dual harvest: balance duals then per-family inequality duals
+    analysis.method.dual = {
+        "balance": res.y[:n],
+        "ineq": dict(zip(range(len(spec.ineq_tags)), res.z)),
+        "ineq_tags": spec.ineq_tags,
+    }
+    return analysis
+
+
+def set_initial_point(analysis: DcOptimalPowerFlow, source=None):
+    """Reference setInitialPoint! — warm start from system or another
+    analysis (acOptimalPowerFlow.jl:762-924 semantics, DC variant)."""
+    spec = analysis._spec
+    n, g = spec.n, spec.g
+    system = analysis.system
+    if source is None:
+        analysis._x0 = np.concatenate([
+            system.bus.voltage.angle.array[:n],
+            system.generator.output.active.array[:g],
+            np.ones(spec.n_h)])
+    else:
+        x0 = np.asarray(analysis._x0).copy()
+        x0[:n] = source.voltage.angle[:n]
+        if hasattr(source, "power") and source.power is not None \
+                and len(source.power.generator.active) == g:
+            x0[n:n + g] = source.power.generator.active
+        analysis._x0 = x0
