@@ -108,7 +108,7 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
             ji = jac_i(x)
             ci = c_i(x)
             r_d = r_d - ji.T @ z
-            sigma = z / s
+            sigma = jnp.clip(z / s, 1e-12, 1e12)
             # condensed: W + Jiᵀ Σ Ji ; rhs folds the barrier term
             w = w + ji.T @ (sigma[:, None] * ji)
             # r_i: primal infeasibility of c_I - s
@@ -127,7 +127,17 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
             kkt = kkt.at[n_x:, n_x:].set(-1e-10 * jnp.eye(m_e))
             rhs = rhs.at[n_x:].set(-ce)
 
-        sol = linalg.solve(linalg.factorize(kkt, linalg.LU), rhs)
+        # symmetric Jacobi equilibration: the barrier term Σ = Z/S spans
+        # ~1e12 near convergence, far beyond what the f32 MXU factorization
+        # plus refinement tolerates (cond must stay ~< 1e7 for IR to
+        # converge); D A D compresses the dynamic range to O(1)
+        d = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(kkt), axis=1), 1e-12))
+        kkt_s = d[:, None] * kkt * d[None, :]
+        sol = d * linalg.solve(linalg.factorize(kkt_s, linalg.LU), d * rhs)
+        # linear-solve quality: a silently failed f32 factorization shows up
+        # as a large relative residual — the driver escalates delta then
+        lin_res = jnp.max(jnp.abs(kkt @ sol - rhs)) / (
+            1.0 + jnp.max(jnp.abs(rhs)))
         dx = sol[:n_x]
         dy = -sol[n_x:] if m_e else jnp.zeros(0)
 
@@ -146,7 +156,7 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
             alpha_s = jnp.asarray(1.0)
             alpha_z = jnp.asarray(1.0)
 
-        return dx, dy, ds, dz, alpha_s, alpha_z
+        return dx, dy, ds, dz, alpha_s, alpha_z, lin_res
 
     @jax.jit
     def merit(x, s, mu, nu):
@@ -164,12 +174,24 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
 
 def solve_nlp(problem: NlpProblem, x0: np.ndarray,
               max_iter: int = 200, tol: float = 1e-8,
+              acceptable_tol: float = 1e-6, acceptable_iter: int = 25,
               mu0: float = 0.1, verbose: int = 0) -> IpmResult:
     """Outer IPM driver (host loop over jitted steps)."""
     x = jnp.asarray(np.asarray(x0, dtype=np.float64))
     n_x = x.shape[0]
     m_e = int(np.asarray(problem.eq(x)).shape[0]) if problem.eq else 0
     m_i = int(np.asarray(problem.ineq(x)).shape[0]) if problem.ineq else 0
+
+    # Ipopt-style gradient-based objective scaling: keep max|∇f| near 100
+    # so currency-unit cost coefficients don't swamp the KKT tolerances.
+    g0 = np.asarray(jax.grad(problem.objective)(x))
+    gmax = float(np.max(np.abs(g0))) if g0.size else 1.0
+    scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
+    raw_objective = problem.objective
+    if scale_f != 1.0:
+        problem = NlpProblem(
+            objective=lambda xx: scale_f * raw_objective(xx),
+            eq=problem.eq, ineq=problem.ineq)
 
     step, kkt_error, merit, (c_e, c_i) = _make_step(problem, n_x, m_e, m_i)
 
@@ -187,44 +209,67 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     converged = False
     it = 0
     err = np.inf
+    best = None
+    stall = 0
 
     for it in range(1, max_iter + 1):
         err_mu = float(kkt_error(x, y, z, s, mu))
         err = float(kkt_error(x, y, z, s, 0.0))
+        if best is None or err < best[0]:
+            best = (err, x, y, z, s)
+            stall = 0
+        else:
+            stall += 1
+        # Ipopt-style acceptable-level stop: degenerate active sets (e.g.
+        # an optimum exactly at a piecewise-cost breakpoint) leave the KKT
+        # system singular in the limit; accept the best iterate once
+        # progress stalls below the acceptable tolerance.
+        if stall >= acceptable_iter and best[0] < acceptable_tol:
+            converged = True
+            break
         if verbose >= 2:
             print(f"  ipm iter {it}: kkt={err:.3e} mu={mu:.3e}")
         if err < tol:
             converged = True
             break
         if err_mu < 10 * mu:
-            mu = max(mu / 10.0, tol / 100.0)
+            mu = max(mu / 10.0, tol / 10.0)
 
         delta = 0.0
+        accepted = False
         for attempt in range(12):
-            dx, dy, ds, dz, alpha_s, alpha_z = step(x, y, z, s, mu, delta)
-            if bool(jnp.all(jnp.isfinite(dx))):
-                # backtracking on the merit function along the primal step;
-                # after several halvings the (finite) Newton step is taken
-                # on trust — near the solution merit can stagnate at
-                # round-off level while the KKT error still shrinks
+            dx, dy, ds, dz, alpha_s, alpha_z = 0, 0, 0, 0, 0, 0
+            out = step(x, y, z, s, mu, delta)
+            dx, dy, ds, dz, alpha_s, alpha_z, lin_res = out
+            solver_ok = bool(jnp.all(jnp.isfinite(dx))) \
+                and float(lin_res) < 1e-6
+            if solver_ok:
+                # backtrack on the merit function; a step is also acceptable
+                # if it reduces the (mu-)KKT error — merit can stagnate at
+                # round-off while the KKT error still shrinks
                 m0 = float(merit(x, s, mu, nu))
-                accepted = False
                 alpha = float(alpha_s)
                 for halving in range(20):
                     x_t = x + alpha * dx
-                    s_t = s + alpha * ds if m_i else s
+                    s_t = jnp.maximum(s + alpha * ds, 1e-14) if m_i else s
                     m_t = float(merit(x_t, s_t, mu, nu))
-                    if np.isfinite(m_t) and (
-                            m_t <= m0 + 1e-6 * max(1.0, abs(m0))
-                            or halving >= 6):
+                    if np.isfinite(m_t) and \
+                            m_t <= m0 + 1e-6 * max(1.0, abs(m0)):
+                        accepted = True
+                        break
+                    z_t = z + alpha * dz if m_i else z
+                    e_t = float(kkt_error(x_t, y + alpha * dy
+                                          if m_e else y,
+                                          jnp.maximum(z_t, 1e-14), s_t, mu))
+                    if np.isfinite(e_t) and e_t <= err_mu * (1 - 1e-4 * alpha):
                         accepted = True
                         break
                     alpha *= 0.5
                 if accepted:
                     break
             delta = 1e-8 if delta == 0.0 else delta * 100.0
-        else:
-            break  # step computation failed repeatedly
+        if not accepted:
+            break  # no productive step available; return best iterate
 
         x = x + alpha * dx
         if m_e:
@@ -233,9 +278,20 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             s = s + alpha * ds
             z = z + float(alpha_z) * dz
             s = jnp.maximum(s, 1e-14)
+            # kappa_Sigma safeguard (tightened): project duals into a band
+            # around the central path z ~ mu/s. Weakly-active constraints
+            # otherwise shoot z up by ~mu/s^2 on barrier reductions, which
+            # the merit function cannot see (it has no dual term).
+            kappa = 1e4
+            z = jnp.clip(z, mu / (kappa * s), kappa * mu / s)
             z = jnp.maximum(z, 1e-14)
 
+    if best is not None and best[0] < err:
+        err, x, y, z, s = best
+        converged = converged or err < tol
+    inv = 1.0 / scale_f
     return IpmResult(
-        x=np.asarray(x), y=np.asarray(y), z=np.asarray(z), s=np.asarray(s),
-        objective=float(problem.objective(x)),
+        x=np.asarray(x), y=np.asarray(y) * inv, z=np.asarray(z) * inv,
+        s=np.asarray(s),
+        objective=float(raw_objective(x)),
         converged=converged, iterations=it, kkt_error=float(err))

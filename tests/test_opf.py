@@ -1,0 +1,44 @@
+"""Optimal power flow oracle tests (pattern of
+/root/reference/test/optimalPowerFlow/analysis.jl: Ipopt/HiGHS golden
+values at atol 1e-6)."""
+
+import numpy as np
+import pytest
+
+import juliagrid_tpu as jg
+from juliagrid_tpu.opf.acopf import ac_optimal_power_flow
+from juliagrid_tpu.opf.acopf import solve as ac_solve
+from juliagrid_tpu.opf.dcopf import dc_optimal_power_flow
+from juliagrid_tpu.opf.dcopf import solve as dc_solve
+
+from .utils import h5group
+
+
+@pytest.mark.parametrize("case", ["case14test", "case30test"])
+def test_dc_opf_matpower(data_path, case):
+    system = jg.power_system(str(data_path / f"{case}.m"))
+    golden = h5group(data_path / "results.h5", f"{case}/dcOptimalPowerFlow")
+    analysis = dc_optimal_power_flow(system)
+    dc_solve(analysis)
+    assert analysis.method.converged
+    np.testing.assert_allclose(analysis.voltage.angle, golden["voltage"],
+                               atol=1e-6)
+    np.testing.assert_allclose(analysis.power.generator.active,
+                               golden["generator"], atol=1e-6)
+
+
+def test_ac_opf_matpower(data_path):
+    system = jg.power_system(str(data_path / "case14optimal.m"))
+    golden = h5group(data_path / "results.h5",
+                     "case14optimal/acOptimalPowerFlow")
+    analysis = ac_optimal_power_flow(system)
+    ac_solve(analysis)
+    assert analysis.method.converged
+    np.testing.assert_allclose(analysis.voltage.magnitude,
+                               golden["voltageMagnitude"], atol=1e-6)
+    np.testing.assert_allclose(analysis.voltage.angle,
+                               golden["voltageAngle"], atol=1e-6)
+    np.testing.assert_allclose(analysis.power.generator.active,
+                               golden["generatorActive"], atol=1e-6)
+    np.testing.assert_allclose(analysis.power.generator.reactive,
+                               golden["generatorReactive"], atol=1e-6)
