@@ -113,6 +113,7 @@ class SeMethod:
     precision_diag: Optional[np.ndarray] = None
     mean: Optional[np.ndarray] = None
     type: Optional[np.ndarray] = None
+    row_device: Optional[list] = None
 
 
 @dataclass
@@ -135,7 +136,8 @@ class AcStateEstimation:
         if (sig.get("ac_model") != rev.ac_model
                 or sig.get("measurement") != mrev
                 or sig.get("slack") != rev.slack):
-            self.arrays, self.method.type = compile_se_arrays(
+            (self.arrays, self.method.type,
+             self.method.row_device) = compile_se_arrays(
                 self.system, self.monitoring)
             self.net = compile_ac_arrays(self.system)
             sig.update(ac_model=rev.ac_model, measurement=mrev,
@@ -156,6 +158,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
     yrows = coo.row[order]
 
     mean, w, status, types = [], [], [], []
+    row_device = []  # (device kind, device index) per measurement row
     vm_rows, vm_bus, va_rows, va_bus = [], [], [], []
     rev_rows, rev_bus, imv_rows, imv_bus = [], [], [], []
     br_groups = {t: ([], []) for t, _, _ in BRANCH_GROUPS}  # rows, branch
@@ -177,6 +180,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
         st = int(volt.magnitude.status[i])
         vm_rows.append(row)
         vm_bus.append(k)
+        row_device.append(("voltmeter", i))
         push(volt.magnitude.mean[i], volt.magnitude.variance[i], st, 1)
 
     for i in range(amp.number):
@@ -187,6 +191,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
         ty = (4 if is_from else 5) if sq else (2 if is_from else 3)
         br_groups[ty][0].append(row)
         br_groups[ty][1].append(k)
+        row_device.append(("ammeter", i))
         m_val = amp.magnitude.mean[i] ** (2 if sq else 1)
         v_val = amp.magnitude.variance[i]
         if sq:
@@ -196,6 +201,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
     for i in range(watt.number):
         k = int(watt.layout.index[i])
         st = int(watt.active.status[i])
+        row_device.append(("wattmeter", i))
         if watt.layout.bus[i]:
             p_rows.append(row)
             p_bus.append(k)
@@ -209,6 +215,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
     for i in range(var.number):
         k = int(var.layout.index[i])
         st = int(var.reactive.status[i])
+        row_device.append(("varmeter", i))
         if var.layout.bus[i]:
             q_rows.append(row)
             q_bus.append(k)
@@ -220,6 +227,8 @@ def compile_se_arrays(system: PowerSystem, monitoring):
             push(var.reactive.mean[i], var.reactive.variance[i], st, ty)
 
     for i in range(pmu.number):
+        row_device.append(("pmu", i))
+        row_device.append(("pmu", i))
         k = int(pmu.layout.index[i])
         st_m = int(pmu.magnitude.status[i])
         st_a = int(pmu.angle.status[i])
@@ -354,7 +363,7 @@ def compile_se_arrays(system: PowerSystem, monitoring):
         q_bus=jnp.asarray(np.asarray(q_bus, dtype=np.int32)),
         q_ent_meas=q_ent_meas, q_ent_k=q_ent_k,
     )
-    return arr, np.asarray(types, dtype=np.int8)
+    return arr, np.asarray(types, dtype=np.int8), row_device
 
 
 # --------------------------------------------------------------------------
@@ -528,11 +537,12 @@ def gauss_newton(monitoring, factorization: str = linalg.LU
     system.check_slack()
     model(system, "ac")
     n = system.bus.number
-    arr, types = compile_se_arrays(system, monitoring)
+    arr, types, row_device = compile_se_arrays(system, monitoring)
     net = compile_ac_arrays(system)
     rev = system.model.revision
     method = SeMethod("gauss_newton", factorization)
     method.type = types
+    method.row_device = row_device
     return AcStateEstimation(
         system=system,
         monitoring=monitoring,

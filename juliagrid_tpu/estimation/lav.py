@@ -1,13 +1,226 @@
-"""LAV (least absolute value) state estimation — placeholder.
+"""LAV (least absolute value) state estimation on the in-house IPM.
 
-The reference builds LAV as an L1 optimization over JuMP/Ipopt
-(acStateEstimation.jl:629-853). Here it reduces to an LP solved by the
-in-house interior-point method (opf/ipm.py); wired up once the IPM lands.
+The reference builds LAV as a JuMP model with positive/negative deviation
+variables per measurement and minimizes their sum, solved by Ipopt
+(acStateEstimation.jl:629-853 AC, dcStateEstimation.jl:201-341 DC,
+pmuStateEstimation.jl:223-368 PMU). Here the same model —
+
+    min  Σ (u + v)   s.t.  h(x) + u - v = z,  u >= 0, v >= 0
+
+— runs on opf/ipm.py. The AC variant is a nonlinear program (h from the
+measurement-row IR); DC and PMU variants are LPs with constant coefficient
+matrices. In-service rows only (out-of-service devices drop out), matching
+the reference's status handling.
 """
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+import numpy as np
 
-def lav_solve(analysis, iteration=40, power=False, current=False):
-    raise NotImplementedError(
-        "LAV estimation lands with the interior-point solver (opf/ipm.py)")
+from ..ops import linalg
+from ..powerflow.ac import Polar, compile_ac_arrays
+from ..system.model import model
+from .acse import (AcStateEstimation, SeMethod, build_h, compile_se_arrays)
+from .dcse import Angle, DcSeMethod, DcStateEstimation, compile_dcse_arrays
+from .pmuse import (PmuSeMethod, PmuStateEstimation, compile_pmuse_arrays)
+from ..opf.ipm import NlpProblem, solve_nlp
+
+
+def ac_lav_state_estimation(monitoring) -> AcStateEstimation:
+    """Reference acLavStateEstimation (acStateEstimation.jl:629-853)."""
+    system = monitoring.system
+    system.check_slack()
+    model(system, "ac")
+    n = system.bus.number
+    arr, types, row_device = compile_se_arrays(system, monitoring)
+    net = compile_ac_arrays(system)
+    rev = system.model.revision
+    method = SeMethod("lav", linalg.LU)
+    method.type = types
+    method.row_device = row_device
+    return AcStateEstimation(
+        system=system, monitoring=monitoring,
+        voltage=Polar(system.bus.voltage.magnitude.array[:n].copy(),
+                      system.bus.voltage.angle.array[:n].copy()),
+        method=method, arrays=arr, net=net,
+        signature={"ac_model": rev.ac_model,
+                   "measurement": monitoring.revision.measurement,
+                   "slack": rev.slack},
+    )
+
+
+def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
+              power: bool = False, current: bool = False,
+              tolerance: float = 1e-8):
+    """Solve AC LAV via the IPM."""
+    analysis._refresh_arrays()
+    arr = analysis.arrays
+    net = analysis.net
+    n = analysis.system.bus.number
+    status = np.asarray(arr.status)
+    active = np.flatnonzero(status == 1)
+    m_act = len(active)
+    z = np.asarray(arr.mean)[active]
+    slack = int(np.asarray(arr.slack))
+    act = jnp.asarray(active)
+
+    def split(xx):
+        return xx[:2 * n], xx[2 * n:2 * n + m_act], xx[2 * n + m_act:]
+
+    def objective(xx):
+        _, u, v = split(xx)
+        return jnp.sum(u) + jnp.sum(v)
+
+    def eq(xx):
+        state, u, v = split(xx)
+        va, vm = state[:n], state[n:]
+        _, h = build_h(arr, net, vm, va)
+        resid = h[act] + u - v - jnp.asarray(z)
+        return jnp.concatenate(
+            [resid, jnp.array([state[slack]
+                               - analysis.voltage.angle[slack]])])
+
+    def ineq(xx):
+        _, u, v = split(xx)
+        return jnp.concatenate([u, v])
+
+    vm0 = np.asarray(analysis.voltage.magnitude)
+    va0 = np.asarray(analysis.voltage.angle)
+    _, h0 = build_h(arr, net, jnp.asarray(vm0), jnp.asarray(va0))
+    r0 = z - np.asarray(h0)[active]
+    x0 = np.concatenate([va0, vm0, np.maximum(r0, 0) + 1e-3,
+                         np.maximum(-r0, 0) + 1e-3])
+
+    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+                    max_iter=iteration, tol=tolerance)
+    analysis.voltage.angle = res.x[:n]
+    analysis.voltage.magnitude = res.x[n:2 * n]
+    analysis.method.iteration = res.iterations
+    analysis.method.converged = res.converged
+    analysis.method.objective = res.objective
+    if power:
+        from ..postprocessing.ac import power as ac_power
+        ac_power(analysis)
+    if current:
+        from ..postprocessing.ac import current as ac_current
+        ac_current(analysis)
+    return analysis
+
+
+def dc_lav_state_estimation(monitoring) -> DcStateEstimation:
+    """Reference dcLavStateEstimation (dcStateEstimation.jl:201-341)."""
+    system = monitoring.system
+    system.check_slack()
+    model(system, "dc")
+    arr, row_device, inservice = compile_dcse_arrays(system, monitoring)
+    rev = system.model.revision
+    method = DcSeMethod("dc_lav")
+    method.row_device = row_device
+    method.inservice = inservice
+    analysis = DcStateEstimation(
+        system=system, monitoring=monitoring,
+        voltage=Angle(np.zeros(system.bus.number)),
+        method=method, arrays=arr,
+        signature={"dc_model": rev.dc_model,
+                   "measurement": monitoring.revision.measurement,
+                   "slack": rev.slack},
+    )
+    return analysis
+
+
+def dc_lav_solve(analysis: DcStateEstimation, iteration: int = 200,
+                 power: bool = False, tolerance: float = 1e-8):
+    analysis._refresh_arrays()
+    arr = analysis.arrays
+    n = analysis.system.bus.number
+    h_np = np.asarray(arr.h_dense)
+    z_np = np.asarray(arr.mean)
+    # rows with any coefficient (in-service)
+    active = np.flatnonzero(np.abs(h_np).sum(axis=1) > 0)
+    m_act = len(active)
+    h_act = jnp.asarray(h_np[active])
+    z_act = jnp.asarray(z_np[active])
+    slack = int(np.asarray(arr.slack))
+
+    def objective(xx):
+        return jnp.sum(xx[n:])
+
+    def eq(xx):
+        theta, u, v = xx[:n], xx[n:n + m_act], xx[n + m_act:]
+        return jnp.concatenate(
+            [h_act @ theta + u - v - z_act,
+             jnp.array([theta[slack]])])
+
+    def ineq(xx):
+        return xx[n:]
+
+    x0 = np.concatenate([np.zeros(n), np.ones(2 * m_act) * 0.1])
+    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+                    max_iter=iteration, tol=tolerance)
+    analysis.voltage.angle = res.x[:n] + float(arr.slack_angle)
+    analysis.method.iteration = res.iterations
+    analysis.method.converged = res.converged
+    if power:
+        from ..postprocessing.dc import power as dc_power
+        dc_power(analysis)
+    return analysis
+
+
+def pmu_lav_state_estimation(monitoring) -> PmuStateEstimation:
+    """Reference pmuLavStateEstimation (pmuStateEstimation.jl:223-368)."""
+    system = monitoring.system
+    model(system, "ac")
+    arr, inservice = compile_pmuse_arrays(system, monitoring)
+    rev = system.model.revision
+    method = PmuSeMethod("pmu_lav")
+    method.inservice = inservice
+    n = system.bus.number
+    return PmuStateEstimation(
+        system=system, monitoring=monitoring,
+        voltage=Polar(np.zeros(n), np.zeros(n)),
+        method=method, arrays=arr,
+        signature={"ac_model": rev.ac_model,
+                   "measurement": monitoring.revision.measurement},
+    )
+
+
+def pmu_lav_solve(analysis: PmuStateEstimation, iteration: int = 200,
+                  power: bool = False, current: bool = False,
+                  tolerance: float = 1e-8):
+    analysis._refresh_arrays()
+    arr = analysis.arrays
+    n = analysis.system.bus.number
+    h_np = np.asarray(arr.h_dense)
+    z_np = np.asarray(arr.mean)
+    active = np.flatnonzero(np.abs(h_np).sum(axis=1) > 0)
+    m_act = len(active)
+    h_act = jnp.asarray(h_np[active])
+    z_act = jnp.asarray(z_np[active])
+
+    def objective(xx):
+        return jnp.sum(xx[2 * n:])
+
+    def eq(xx):
+        state, u, v = (xx[:2 * n], xx[2 * n:2 * n + m_act],
+                       xx[2 * n + m_act:])
+        return h_act @ state + u - v - z_act
+
+    def ineq(xx):
+        return xx[2 * n:]
+
+    x0 = np.concatenate([np.ones(n), np.zeros(n), 0.1 * np.ones(2 * m_act)])
+    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+                    max_iter=iteration, tol=tolerance)
+    re, im = res.x[:n], res.x[n:2 * n]
+    analysis.voltage.magnitude = np.hypot(re, im)
+    analysis.voltage.angle = np.arctan2(im, re)
+    analysis.method.iteration = res.iterations
+    analysis.method.converged = res.converged
+    if power:
+        from ..postprocessing.ac import power as ac_power
+        ac_power(analysis)
+    if current:
+        from ..postprocessing.ac import current as ac_current
+        ac_current(analysis)
+    return analysis

@@ -1,0 +1,82 @@
+"""Bad-data tests: plant an outlier, assert detection and recovery
+(pattern of /root/reference/test/stateEstimation/badData.jl)."""
+
+import numpy as np
+import pytest
+
+import juliagrid_tpu as jg
+from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+from juliagrid_tpu.estimation.baddata import chi_test, residual_test
+from juliagrid_tpu.estimation.dcse import dc_state_estimation
+from juliagrid_tpu.measurement.devices import (add_varmeter, add_voltmeter,
+                                               add_wattmeter,
+                                               update_wattmeter)
+from juliagrid_tpu.measurement.load import measurement
+from juliagrid_tpu.postprocessing.ac import current as ac_current
+from juliagrid_tpu.postprocessing.ac import power as ac_power
+from juliagrid_tpu.postprocessing.dc import power as dc_power
+from juliagrid_tpu.powerflow.ac import newton_raphson
+from juliagrid_tpu.powerflow.dc import dc_power_flow
+from juliagrid_tpu.powerflow.driver import power_flow
+
+
+def test_dc_outlier_detection(data_path):
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = dc_power_flow(system)
+    power_flow(pf)
+    dc_power(pf)
+
+    monitoring = measurement(system)
+    add_wattmeter(monitoring, analysis=pf)
+    # plant a gross error on one flow measurement
+    bad_label = monitoring.wattmeter.label.label(20)
+    update_wattmeter(monitoring, bad_label, active=10.0)
+
+    se = dc_state_estimation(monitoring)
+    state_estimation(se)
+    chi = chi_test(se)
+    assert chi.detect
+
+    bad = residual_test(se, threshold=3.0)
+    assert bad.detect
+    assert bad.label == bad_label
+    assert monitoring.wattmeter.active.status[20] == 0
+
+    # re-estimation recovers the power-flow angles
+    se2 = dc_state_estimation(monitoring)
+    state_estimation(se2)
+    np.testing.assert_allclose(se2.voltage.angle, pf.voltage.angle,
+                               atol=1e-8)
+    chi2r = chi_test(se2)
+    assert not chi2r.detect
+
+
+def test_ac_outlier_detection(data_path):
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf)
+    ac_power(pf)
+    ac_current(pf)
+
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    bad_label = monitoring.wattmeter.label.label(5)
+    update_wattmeter(monitoring, bad_label, active=5.0)
+
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+    chi = chi_test(se)
+    assert chi.detect
+
+    bad = residual_test(se, threshold=3.0)
+    assert bad.detect
+    assert bad.label == bad_label
+
+    se2 = gauss_newton(monitoring)
+    state_estimation(se2)
+    assert se2.method.converged
+    np.testing.assert_allclose(se2.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-7)
+    assert not chi_test(se2).detect
