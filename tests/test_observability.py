@@ -84,9 +84,8 @@ def test_restoration_promotes_pseudo(solved14):
     islands2 = island_topological(monitoring)
     assert len(islands2.island) == 1
 
-    # and the restored set estimates the PF state (needs a voltage anchor)
-    add_voltmeter(monitoring, bus=system.bus.label.label(0),
-                  magnitude=float(pf.voltage.magnitude[0]))
+    # and the restored set plus voltage anchors estimates the PF state
+    add_voltmeter(monitoring, analysis=pf)
     se = gauss_newton(monitoring)
     state_estimation(se)
     assert se.method.converged
