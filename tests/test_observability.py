@@ -63,14 +63,17 @@ def test_injections_merge_islands(solved14):
 def test_restoration_promotes_pseudo(solved14):
     system, pf = solved14
     monitoring = measurement(system)
-    # flows only on branches 0..9 -> islands remain
-    for k in range(10):
+    # flows only on the first ten in-service branches -> islands remain
+    added = 0
+    for k in range(system.branch.number):
+        if system.branch.layout.status[k] != 1 or added >= 10:
+            continue
         label = system.branch.label.label(k)
-        from juliagrid_tpu.postprocessing.ac import from_power
-        p = pf.power.from_.active[k]
-        q = pf.power.from_.reactive[k]
-        add_wattmeter(monitoring, from_branch=label, active=p)
-        add_varmeter(monitoring, from_branch=label, reactive=q)
+        add_wattmeter(monitoring, from_branch=label,
+                      active=float(pf.power.from_.active[k]))
+        add_varmeter(monitoring, from_branch=label,
+                     reactive=float(pf.power.from_.reactive[k]))
+        added += 1
     islands = island_topological(monitoring)
     assert len(islands.island) > 1
 
