@@ -83,3 +83,29 @@ def test_measurement_roundtrip(data_path, tmp_path):
     np.testing.assert_allclose(
         monitoring2.pmu.angle.variance.array,
         monitoring.pmu.angle.variance.array)
+
+
+def test_psse_matches_matpower_fixture(data_path):
+    """PSSE .raw vs .m parity (reference loadSave.jl pattern, atol 1e-6)."""
+    raw = jg.power_system(str(data_path / "psse.raw"))
+    mfile = jg.power_system(str(data_path / "psse.m"))
+    assert raw.bus.number == mfile.bus.number
+    assert raw.branch.number == mfile.branch.number
+    assert raw.generator.number == mfile.generator.number
+    np.testing.assert_allclose(raw.bus.demand.active.array,
+                               mfile.bus.demand.active.array, atol=1e-6)
+    np.testing.assert_allclose(raw.bus.shunt.susceptance.array,
+                               mfile.bus.shunt.susceptance.array, atol=1e-6)
+    np.testing.assert_allclose(raw.branch.parameter.reactance.array,
+                               mfile.branch.parameter.reactance.array,
+                               atol=1e-6)
+    np.testing.assert_allclose(raw.branch.parameter.turns_ratio.array,
+                               mfile.branch.parameter.turns_ratio.array,
+                               atol=1e-6)
+    np.testing.assert_array_equal(raw.branch.layout.status.array,
+                                  mfile.branch.layout.status.array)
+    np.testing.assert_array_equal(raw.branch.layout.from_bus.array,
+                                  mfile.branch.layout.from_bus.array)
+    np.testing.assert_allclose(raw.generator.output.active.array,
+                               mfile.generator.output.active.array,
+                               atol=1e-6)
