@@ -236,6 +236,7 @@ class AcPowerFlow:
         if (sig.get("ac_model") != rev.ac_model
                 or sig.get("ac_pattern") != rev.ac_pattern
                 or sig.get("type") != rev.type
+                or sig.get("injection") != rev.injection
                 or sig.get("slack") != rev.slack):
             if self.method.name in ("fast_newton_raphson_bx",
                                     "fast_newton_raphson_xb"):
@@ -250,6 +251,7 @@ class AcPowerFlow:
             sig["ac_model"] = rev.ac_model
             sig["ac_pattern"] = rev.ac_pattern
             sig["type"] = rev.type
+            sig["injection"] = rev.injection
             sig["slack"] = rev.slack
 
 
@@ -316,7 +318,8 @@ def newton_raphson(system: PowerSystem,
         method=MethodState("newton_raphson", factorization),
         arrays=arrays,
         signature={"ac_model": rev.ac_model, "ac_pattern": rev.ac_pattern,
-                   "type": rev.type, "slack": rev.slack},
+                   "type": rev.type, "injection": rev.injection,
+                   "slack": rev.slack},
     )
 
 

@@ -51,10 +51,11 @@ class DcPowerFlow:
         sig = self.signature
         if (sig.get("dc_model") != rev.dc_model
                 or sig.get("dc_pattern") != rev.dc_pattern
+                or sig.get("injection") != rev.injection
                 or sig.get("slack") != rev.slack):
             self.arrays = compile_dc_arrays(self.system)
             sig.update(dc_model=rev.dc_model, dc_pattern=rev.dc_pattern,
-                       slack=rev.slack)
+                       injection=rev.injection, slack=rev.slack)
 
 
 def compile_dc_arrays(system: PowerSystem) -> DcArrays:
@@ -97,7 +98,7 @@ def dc_power_flow(system: PowerSystem,
         method=MethodState("dc_power_flow", factorization),
         arrays=arrays,
         signature={"dc_model": rev.dc_model, "dc_pattern": rev.dc_pattern,
-                   "slack": rev.slack},
+                   "injection": rev.injection, "slack": rev.slack},
     )
 
 

@@ -216,7 +216,8 @@ def _fast_newton_raphson(system, bx: bool, factorization: str) -> AcPowerFlow:
         method=MethodState(name, factorization),
         arrays=arrays,
         signature={"ac_model": rev.ac_model, "ac_pattern": rev.ac_pattern,
-                   "type": rev.type, "slack": rev.slack},
+                   "type": rev.type, "injection": rev.injection,
+                   "slack": rev.slack},
     )
 
 

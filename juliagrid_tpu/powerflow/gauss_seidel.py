@@ -202,7 +202,8 @@ def gauss_seidel(system: PowerSystem,
         method=MethodState("gauss_seidel", factorization),
         arrays=arrays,
         signature={"ac_model": rev.ac_model, "ac_pattern": rev.ac_pattern,
-                   "type": rev.type, "slack": rev.slack},
+                   "type": rev.type, "injection": rev.injection,
+                   "slack": rev.slack},
     )
 
 

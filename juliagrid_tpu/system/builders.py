@@ -111,10 +111,12 @@ def update_bus(system: PowerSystem, label, *, type=None, active=None,
         bus.demand.active[idx] = topu(active, None, u.pfx_active,
                                       base_power_inv) \
             if u.pfx_active else float(active)
+        system.injection_changed()
     if reactive is not None:
         bus.demand.reactive[idx] = topu(reactive, None, u.pfx_reactive,
                                         base_power_inv) \
             if u.pfx_reactive else float(reactive)
+        system.injection_changed()
 
     shunt_changed = conductance is not None or susceptance is not None
     if conductance is not None:
@@ -383,7 +385,7 @@ def add_generator(system: PowerSystem, label=None, *, bus, active=None,
         system.bus.supply.active[bus_idx] += p
         system.bus.supply.reactive[bus_idx] += q
         gen.layout.inservice += 1
-    system.optimization_changed()
+    system.injection_changed()
     return idx
 
 
@@ -449,7 +451,7 @@ def update_generator(system: PowerSystem, label, *, bus=None, active=None,
             system.add_gen_in_bus(bus_idx, idx)
             gen.layout.inservice += 1
     gen.layout.status[idx] = new_status
-    system.optimization_changed()
+    system.injection_changed()
     return idx
 
 

@@ -35,6 +35,8 @@ class SystemRevision:
     dc_pattern: int = 0
     ac_optimization: int = 0
     dc_optimization: int = 0
+    #: bumped when bus injections (demand or generator supply) change
+    injection: int = 0
 
 
 @dataclass
@@ -285,6 +287,12 @@ class PowerSystem:
 
     def dc_pattern_changed(self):
         self.model.revision.dc_pattern += 1
+
+    def injection_changed(self):
+        r = self.model.revision
+        r.injection += 1
+        r.ac_optimization += 1
+        r.dc_optimization += 1
 
     def optimization_changed(self):
         r = self.model.revision
