@@ -117,6 +117,8 @@ def main():
     rate = total_iters / dt
     n_conv = int(np.asarray(conv).sum())
 
+    se_detail = se_bench(system, vm, va, scale)
+
     base_rate = cpu_reference_rate(system, scale)
     print(json.dumps({
         "metric": "nr_iterations_per_second_case30_batch1024",
@@ -130,8 +132,72 @@ def main():
             "total_nr_iterations": total_iters,
             "cpu_baseline_iters_per_s": round(base_rate, 1),
             "device": str(jax.devices()[0]),
+            **se_detail,
         },
     }))
+
+
+def se_bench(system, vm_solved, va_solved, scale):
+    """Batched Monte-Carlo WLS SE throughput (BASELINE config 3/5 shape)."""
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.estimation.acse import compile_se_arrays
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
+    from juliagrid_tpu.postprocessing.ac import power as ac_power
+    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
+
+    class _V:  # adapter: solved state of scenario 0 as an analysis-like obj
+        pass
+
+    pf = _V()
+    pf.voltage = _V()
+    pf.voltage.magnitude = np.asarray(vm_solved)[0]
+    pf.voltage.angle = np.asarray(va_solved)[0]
+    pf.system = system
+    pf.power = None
+    pf.current = None
+    pf.kind = "power_flow"
+    ac_power(pf)
+
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    arr, _, _ = compile_se_arrays(system, monitoring)
+    net = compile_ac_arrays(system)
+
+    n = system.bus.number
+    nscen = N_SCENARIOS
+    rng = np.random.default_rng(3)
+    base_mean = np.asarray(arr.mean)
+    sigma = 1.0 / np.sqrt(np.asarray(arr.w))
+    means = jnp.asarray(base_mean[None, :]
+                        + 0.5 * sigma[None, :]
+                        * rng.standard_normal((nscen, len(base_mean))))
+    vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
+                              (nscen, 1)))
+    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n],
+                              (nscen, 1)))
+
+    vm, va, iters, conv = batched_se_solve_jit(arr, net, vm0, va0, means,
+                                               tol=1e-8, max_iter=40)
+    vm.block_until_ready()
+    t0 = time.perf_counter()
+    vm, va, iters, conv = batched_se_solve_jit(arr, net, vm0, va0, means,
+                                               tol=1e-8, max_iter=40)
+    vm.block_until_ready()
+    dt = time.perf_counter() - t0
+    return {
+        "se_scenarios": nscen,
+        "se_wall_s": round(dt, 4),
+        "se_converged": int(np.asarray(conv).sum()),
+        "se_solves_per_s": round(nscen / dt, 1),
+        "se_gn_iterations": int(np.asarray(iters).sum()),
+    }
 
 
 if __name__ == "__main__":

@@ -42,6 +42,24 @@ class AcOptimalPowerFlow:
     kind: str = "optimal_power_flow"
     _spec: Optional[object] = None
     _x0: Optional[np.ndarray] = None
+    signature: dict = None
+
+    def _refresh_spec(self):
+        """Rebuild when the system moved past the captured revision
+        (reference acOptimalPowerFlow.jl:275-283)."""
+        rev = self.system.model.revision
+        key = (rev.ac_model, rev.ac_pattern, rev.ac_optimization,
+               rev.injection, rev.slack, rev.type)
+        if self.signature != {"key": key}:
+            from ..system.model import model as _model
+            _model(self.system, "ac")
+            old = self._spec
+            self._spec = _AcSpec(self.system)
+            if old is not None and old.n_x != self._spec.n_x:
+                self._x0 = None
+            if self._x0 is None:
+                set_initial_point(self)
+            self.signature = {"key": key}
 
 
 def _poly_cost(poly):
@@ -396,6 +414,7 @@ def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
 
 def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
           tolerance: float = 1e-9, verbose: int = 0) -> AcOptimalPowerFlow:
+    analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
     has_ineq = spec.ineq(jnp_.asarray(analysis._x0)) is not None

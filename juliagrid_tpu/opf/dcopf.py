@@ -46,6 +46,32 @@ class DcOptimalPowerFlow:
     _spec: Optional[object] = None
     #: warm-start state vector (reference setInitialPoint! semantics)
     _x0: Optional[np.ndarray] = None
+    signature: dict = None
+
+    def _refresh_spec(self):
+        """Rebuild the problem structure when the system moved past the
+        captured revision (reference dcOptimalPowerFlow solve! signature
+        check, dcOptimalPowerFlow.jl:298-310)."""
+        rev = self.system.model.revision
+        key = (rev.dc_model, rev.dc_pattern, rev.dc_optimization,
+               rev.injection, rev.slack)
+        if self.signature != {"key": key}:
+            from ..system.model import model as _model
+            _model(self.system, "dc")
+            old = self._spec
+            self._spec = _DcSpec(self.system)
+            if old is not None and old.n_x != self._spec.n_x:
+                self._x0 = None
+            if self._x0 is None:
+                n, gg = self._spec.n, self._spec.g
+                x0 = np.zeros(self._spec.n_x)
+                x0[:n] = self.system.bus.voltage.angle.array[:n]
+                x0[n:n + gg] = \
+                    self.system.generator.output.active.array[:gg]
+                if self._spec.n_h:
+                    x0[n + gg:] = 1.0
+                self._x0 = x0
+            self.signature = {"key": key}
 
 
 class _DcSpec:
@@ -256,6 +282,7 @@ def dc_optimal_power_flow(system: PowerSystem) -> DcOptimalPowerFlow:
 def solve(analysis: DcOptimalPowerFlow, max_iter: int = 200,
           tolerance: float = 1e-9, verbose: int = 0) -> DcOptimalPowerFlow:
     """Reference solve! — runs the IPM and harvests primal/duals."""
+    analysis._refresh_spec()
     spec = analysis._spec
     has_ineq = spec.ineq(jnp.asarray(analysis._x0)) is not None
     problem = NlpProblem(

@@ -235,6 +235,17 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if err_mu < 10 * mu:
             mu = max(mu / 10.0, tol / 10.0)
 
+        # the l1 exactness condition requires nu > ||duals||_inf; keep it
+        # ahead of the multipliers or the line search rejects feasibility
+        # restoration steps (merit decrease in f outweighs the penalty)
+        if m_e or m_i:
+            dual_inf = 0.0
+            if m_e and y.shape[0]:
+                dual_inf = float(jnp.max(jnp.abs(y)))
+            if m_i and z.shape[0]:
+                dual_inf = max(dual_inf, float(jnp.max(jnp.abs(z))))
+            nu = max(nu, 2.0 * dual_inf + 10.0)
+
         delta = 0.0
         accepted = False
         for attempt in range(12):

@@ -109,3 +109,65 @@ def sharded_nr_solve(mesh: Mesh, arr: AcArrays, vm0, va0, p_sched, q_sched,
         jax.device_put(x, shard) for x in (vm0, va0, p_sched, q_sched))
     return batched_nr_solve_jit(arr, vm0, va0, p_sched, q_sched,
                                 tol=tol, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------------------
+# Batched WLS state estimation (Monte-Carlo measurement sets)
+# ---------------------------------------------------------------------------
+
+def batched_se_solve(arr, net, vm0, va0, means,
+                     tol: float = 1e-8, max_iter: int = 40):
+    """Batched Gauss-Newton WLS over scenario measurement means.
+
+    ``means`` has shape (scenarios, rows); the measurement pattern, weights
+    and network are shared, so the H-build and gain formation vectorize into
+    batched MXU matmuls. This is the BASELINE "10k-scenario Monte-Carlo SE"
+    configuration: shard the leading axis over the mesh for pod scale-out.
+    """
+    from ..estimation.acse import gn_increment
+
+    def one_increment(mean, vm, va):
+        a = arr._replace(mean=mean)
+        return gn_increment(a, net, vm, va, "LU")
+
+    v_inc = jax.vmap(one_increment)
+
+    n = vm0.shape[1]
+    dx, maxinc = v_inc(means, vm0, va0)
+    active0 = maxinc >= tol
+
+    def cond(carry):
+        vm, va, dx, active, iters, it = carry
+        return jnp.any(active) & (it < max_iter)
+
+    def body(carry):
+        vm, va, dx, active, iters, it = carry
+        va = jnp.where(active[:, None], va + dx[:, :n], va)
+        vm = jnp.where(active[:, None], vm + dx[:, n:], vm)
+        iters = iters + active.astype(iters.dtype)
+        dx, maxinc = v_inc(means, vm, va)
+        active = active & (maxinc >= tol)
+        return vm, va, dx, active, iters, it + 1
+
+    nscen = vm0.shape[0]
+    vm, va, dx, active, iters, it = jax.lax.while_loop(
+        cond, body,
+        (vm0, va0, dx, active0, jnp.zeros(nscen, dtype=jnp.int32),
+         jnp.int32(0)))
+    return vm, va, iters, ~active
+
+
+batched_se_solve_jit = jax.jit(batched_se_solve,
+                               static_argnames=("tol", "max_iter"))
+
+
+def sharded_se_solve(mesh: Mesh, arr, net, vm0, va0, means,
+                     tol: float = 1e-8, max_iter: int = 40):
+    """Scenario-sharded batched WLS SE over the device mesh."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("scenario"))
+    arr = jax.device_put(arr, repl)
+    net = jax.device_put(net, repl)
+    vm0, va0, means = (jax.device_put(x, shard) for x in (vm0, va0, means))
+    return batched_se_solve_jit(arr, net, vm0, va0, means,
+                                tol=tol, max_iter=max_iter)

@@ -134,3 +134,18 @@ def test_reuse_se_after_measurement_update(data_path):
                                fresh.voltage.magnitude, atol=1e-10)
     np.testing.assert_allclose(se.voltage.angle, fresh.voltage.angle,
                                atol=1e-10)
+
+
+def test_reuse_opf_after_updates(data_path):
+    from juliagrid_tpu.opf.dcopf import dc_optimal_power_flow, solve
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = dc_optimal_power_flow(system)
+    solve(analysis)
+    jg.update_bus(system, system.bus.label.label(2), active=0.3)
+    fresh = dc_optimal_power_flow(system)
+    solve(analysis)
+    solve(fresh)
+    np.testing.assert_allclose(analysis.power.generator.active,
+                               fresh.power.generator.active, atol=1e-6)
+    np.testing.assert_allclose(analysis.voltage.angle, fresh.voltage.angle,
+                               atol=1e-6)
