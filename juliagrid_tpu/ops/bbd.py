@@ -1,0 +1,202 @@
+"""Bordered-block-diagonal (BBD) partitioning and Schur-complement solves.
+
+The scale axis of this domain is network size (SURVEY §5: up to the 82k-bus
+SyntheticUSA case). A single giant nodal matrix doesn't fit one chip's
+dense path, so the matrix is permuted to bordered block-diagonal form:
+
+    [ A_11          B_1 ] [x_1]   [r_1]
+    [       ...     ...  ] [...] = [...]
+    [            A_kk B_k ] [x_k]   [r_k]
+    [ C_1   ...  C_k  D  ] [x_b]   [r_b]
+
+Interior blocks factorize independently (vmapped mixed-precision dense
+factorizations — or one per device over a ``block`` mesh axis); the border
+Schur complement S = D - Σ_k C_k A_kk⁻¹ B_k reduces over blocks with a
+``psum`` riding ICI, the (small) border system solves replicated, and the
+back-substitution is again embarrassingly block-parallel. This is the
+network-model-parallel axis that complements scenario data parallelism
+(parallel/batch.py), per the BASELINE north star.
+
+Partitioning runs host-side: BFS region growing over the bus graph
+(the same style as the reference's physicalIsland BFS, model.jl:375-463)
+with border extraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from . import linalg
+
+
+def bbd_partition(adjacency: sp.spmatrix, n_blocks: int):
+    """Partition buses into blocks + border via BFS region growing.
+
+    Returns (block_of_bus array with -1 for border buses, border list).
+    A bus whose neighbors span multiple regions is promoted to the border.
+    """
+    n = adjacency.shape[0]
+    adj = adjacency.tocsr()
+    target = (n + n_blocks - 1) // n_blocks
+
+    region = np.full(n, -2, dtype=np.int64)  # -2 unassigned
+    seeds = np.linspace(0, n - 1, n_blocks).astype(np.int64)
+    frontiers = []
+    for b, s in enumerate(seeds):
+        while region[s] != -2:
+            s = (s + 1) % n
+        region[s] = b
+        frontiers.append([int(s)])
+
+    sizes = [1] * n_blocks
+    active = True
+    while active:
+        active = False
+        for b in range(n_blocks):
+            if sizes[b] >= target or not frontiers[b]:
+                continue
+            new_frontier = []
+            for u in frontiers[b]:
+                for v in adj.indices[adj.indptr[u]:adj.indptr[u + 1]]:
+                    if region[v] == -2 and sizes[b] < target:
+                        region[v] = b
+                        sizes[b] += 1
+                        new_frontier.append(int(v))
+            frontiers[b] = new_frontier
+            active = active or bool(new_frontier)
+
+    # any unassigned stragglers join the smallest region
+    for u in np.flatnonzero(region == -2):
+        b = int(np.argmin(sizes))
+        region[u] = b
+        sizes[b] += 1
+
+    # border: buses adjacent to a different region
+    border = []
+    for u in range(n):
+        for v in adj.indices[adj.indptr[u]:adj.indptr[u + 1]]:
+            if region[v] != region[u]:
+                border.append(u)
+                break
+    border = np.asarray(sorted(set(border)), dtype=np.int64)
+    block_of = region.copy()
+    block_of[border] = -1
+    return block_of, border
+
+
+class BbdArrays(NamedTuple):
+    a_ii: jax.Array      # (k, ni, ni) interior blocks (padded, identity tail)
+    a_ib: jax.Array      # (k, ni, m) interior-border coupling
+    a_bi: jax.Array      # (k, m, ni)
+    a_bb: jax.Array      # (m, m) border block
+    interior_idx: jax.Array  # (k, ni) original bus index per padded slot
+    interior_mask: jax.Array  # (k, ni) 1 for real slots
+    border_idx: jax.Array    # (m,)
+
+
+def build_bbd_arrays(a_dense: np.ndarray, block_of: np.ndarray,
+                     border: np.ndarray) -> BbdArrays:
+    """Compile the BBD snapshot from a dense (host) matrix."""
+    n = a_dense.shape[0]
+    k = int(block_of.max()) + 1
+    m = len(border)
+    groups = [np.flatnonzero(block_of == b) for b in range(k)]
+    ni = max(len(g) for g in groups)
+
+    a_ii = np.zeros((k, ni, ni))
+    a_ib = np.zeros((k, ni, m))
+    a_bi = np.zeros((k, m, ni))
+    idx = np.zeros((k, ni), dtype=np.int64)
+    mask = np.zeros((k, ni))
+    for b, g in enumerate(groups):
+        s = len(g)
+        a_ii[b, :s, :s] = a_dense[np.ix_(g, g)]
+        a_ii[b, s:, s:] = np.eye(ni - s)
+        a_ib[b, :s, :] = a_dense[np.ix_(g, border)]
+        a_bi[b, :, :s] = a_dense[np.ix_(border, g)]
+        idx[b, :s] = g
+        mask[b, :s] = 1.0
+    a_bb = a_dense[np.ix_(border, border)]
+    return BbdArrays(
+        a_ii=jnp.asarray(a_ii), a_ib=jnp.asarray(a_ib),
+        a_bi=jnp.asarray(a_bi), a_bb=jnp.asarray(a_bb),
+        interior_idx=jnp.asarray(idx), interior_mask=jnp.asarray(mask),
+        border_idx=jnp.asarray(border))
+
+
+@jax.jit
+def bbd_solve(arr: BbdArrays, rhs):
+    """Solve A x = rhs through the Schur complement (single device,
+    blocks vmapped)."""
+    r_i = jax.vmap(lambda idx, msk: rhs[idx] * msk)(
+        arr.interior_idx, arr.interior_mask)
+    r_b = rhs[arr.border_idx]
+
+    lu, piv = jax.vmap(linalg.lu_factor32)(arr.a_ii)
+    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, arr.a_ii, r_i)
+    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, arr.a_ii, arr.a_ib)
+    schur = arr.a_bb - jnp.sum(arr.a_bi @ z, axis=0)
+    rhs_b = r_b - jnp.sum(
+        jnp.einsum("kmi,ki->km", arr.a_bi, y), axis=0)
+    x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_b)
+
+    x_i = y - jnp.einsum("kim,m->ki", z, x_b)
+    n = rhs.shape[0]
+    x = jnp.zeros(n, dtype=rhs.dtype)
+    x = x.at[arr.border_idx].set(x_b)
+
+    def write(x, idx, xi, msk):
+        return x.at[idx].add(xi * msk)
+
+    for b in range(arr.a_ii.shape[0]):
+        x = write(x, arr.interior_idx[b], x_i[b], arr.interior_mask[b])
+    return x
+
+
+def bbd_solve_sharded(mesh, arr: BbdArrays, rhs, axis: str = "block"):
+    """Schur solve with interior blocks sharded over a mesh axis.
+
+    Per-device: factor its block, local Schur contribution; ``psum`` over
+    ICI combines the border system; the border solve replicates; the
+    back-substitution stays local. The number of blocks must equal the
+    axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    k = arr.a_ii.shape[0]
+
+    def local(a_ii, a_ib, a_bi, idx, msk, a_bb, rhs):
+        # leading block axis is length-1 on each device
+        a_ii, a_ib, a_bi = a_ii[0], a_ib[0], a_bi[0]
+        idx, msk = idx[0], msk[0]
+        r_i = rhs[idx] * msk
+        f = linalg.factorize(a_ii, linalg.LU)
+        y = linalg.solve(f, r_i)
+        z = linalg.solve(f, a_ib)
+        schur_part = a_bi @ z
+        rhs_part = a_bi @ y
+        schur = a_bb - jax.lax.psum(schur_part, axis)
+        rhs_b = rhs[arr.border_idx] - jax.lax.psum(rhs_part, axis)
+        x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_b)
+        x_i = y - z @ x_b
+        return x_i[None], x_b
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P()))
+    x_i, x_b = fn(arr.a_ii, arr.a_ib, arr.a_bi, arr.interior_idx,
+                  arr.interior_mask, arr.a_bb, rhs)
+    n = rhs.shape[0]
+    x = jnp.zeros(n, dtype=rhs.dtype).at[arr.border_idx].set(x_b)
+    for b in range(k):
+        x = x.at[arr.interior_idx[b]].add(
+            x_i[b] * arr.interior_mask[b])
+    return x

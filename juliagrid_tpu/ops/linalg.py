@@ -105,3 +105,22 @@ def solve_direct(a64: jax.Array, b64: jax.Array, kind: str = LU) -> jax.Array:
 @partial(jax.jit, static_argnames=("kind", "refine"))
 def jit_solve_direct(a64, b64, kind: str = LU, refine: int = _REFINE_STEPS):
     return solve(factorize(a64, kind), b64, refine)
+
+
+# Array-only LU helpers (vmap/shard_map-friendly: no string-tagged pytrees)
+
+def lu_factor32(a64):
+    """f32 LU factors of a f64 matrix; returns (lu, piv)."""
+    return jsl.lu_factor(a64.astype(jnp.float32))
+
+
+def lu_solve_refined(lu, piv, a64, b64, refine: int = _REFINE_STEPS):
+    """Mixed-precision refined solve from raw (lu, piv) factors."""
+    x = jsl.lu_solve((lu, piv), b64.astype(jnp.float32)).astype(b64.dtype)
+
+    def body(_, x):
+        r = b64 - a64 @ x
+        d = jsl.lu_solve((lu, piv), r.astype(jnp.float32))
+        return x + d.astype(b64.dtype)
+
+    return jax.lax.fori_loop(0, refine, body, x)
