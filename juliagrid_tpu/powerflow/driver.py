@@ -23,6 +23,22 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
                verbose: int | None = None):
     """Solve an analysis to convergence. Dispatches on the analysis type."""
     from .dc import DcPowerFlow, dc_solve
+    from ..opf.acopf import AcOptimalPowerFlow
+    from ..opf.dcopf import DcOptimalPowerFlow
+    if isinstance(analysis, (AcOptimalPowerFlow, DcOptimalPowerFlow)):
+        # reference powerFlow! also wraps OPF analyses
+        from ..opf import solve_opf
+        solve_opf(analysis, verbose=verbose or 0)
+        if power and isinstance(analysis, AcOptimalPowerFlow):
+            from ..postprocessing.ac import power as ac_power
+            ac_power(analysis)
+        elif power:
+            from ..postprocessing.dc import power as dc_power
+            dc_power(analysis)
+        if current and isinstance(analysis, AcOptimalPowerFlow):
+            from ..postprocessing.ac import current as ac_current
+            ac_current(analysis)
+        return analysis
     if isinstance(analysis, DcPowerFlow):
         dc_solve(analysis, verbose=verbose)
         if power:
