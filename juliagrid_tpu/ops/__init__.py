@@ -1,0 +1,5 @@
+"""Compute substrate: mixed-precision linear algebra, the equation library,
+BBD Schur solves, and Pallas kernels."""
+
+from . import linalg
+from .linalg import KLU, LDLT, LL, LU, QR

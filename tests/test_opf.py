@@ -42,3 +42,17 @@ def test_ac_opf_matpower(data_path):
                                golden["generatorActive"], atol=1e-6)
     np.testing.assert_allclose(analysis.power.generator.reactive,
                                golden["generatorReactive"], atol=1e-6)
+
+
+def test_cost_update_changes_opf(data_path):
+    """cost! live-edit: updating a generator cost re-optimizes."""
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = dc_optimal_power_flow(system)
+    dc_solve(analysis)
+    obj1 = analysis.method.objective
+    # make generator 1 much cheaper
+    jg.cost(system, system.generator.label.label(0), active=2,
+            polynomial=[1.0, 1.0, 0.0])
+    dc_solve(analysis)
+    assert analysis.method.converged
+    assert analysis.method.objective < obj1
