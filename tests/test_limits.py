@@ -33,3 +33,51 @@ def test_reactive_limit(data_path, case):
 
     adjust_angle(analysis, system.bus.label.label(0))
     assert_voltage(golden, analysis)
+
+
+@pytest.mark.parametrize("case", ["case14test", "case30test"])
+@pytest.mark.parametrize("variant", ["BX", "XB"])
+def test_reactive_limit_fast_decoupled(data_path, case, variant):
+    from juliagrid_tpu.powerflow.fast_decoupled import (
+        fast_newton_raphson_bx, fast_newton_raphson_xb)
+    build = fast_newton_raphson_bx if variant == "BX" \
+        else fast_newton_raphson_xb
+    system = jg.power_system(str(data_path / f"{case}.m"))
+    golden = h5group(data_path / "results.h5",
+                     f"{case}/reactiveLimit/fastNewtonRaphson{variant}")
+
+    analysis = build(system)
+    power_flow(analysis, iteration=300)
+    iteration = analysis.method.iteration
+
+    with suppress():
+        reactive_limit(analysis)
+
+    analysis = build(system)
+    power_flow(analysis, iteration=300)
+    analysis.method.iteration += iteration
+
+    adjust_angle(analysis, system.bus.label.label(0))
+    assert_voltage(golden, analysis)
+
+
+@pytest.mark.parametrize("case", ["case14test", "case30test"])
+def test_reactive_limit_gauss_seidel(data_path, case):
+    from juliagrid_tpu.powerflow.gauss_seidel import gauss_seidel
+    system = jg.power_system(str(data_path / f"{case}.m"))
+    golden = h5group(data_path / "results.h5",
+                     f"{case}/reactiveLimit/gaussSeidel")
+
+    analysis = gauss_seidel(system)
+    power_flow(analysis, iteration=3000)
+    iteration = analysis.method.iteration
+
+    with suppress():
+        reactive_limit(analysis)
+
+    analysis = gauss_seidel(system)
+    power_flow(analysis, iteration=3000)
+    analysis.method.iteration += iteration
+
+    adjust_angle(analysis, system.bus.label.label(0))
+    assert_voltage(golden, analysis)
