@@ -56,3 +56,33 @@ def test_cost_update_changes_opf(data_path):
     dc_solve(analysis)
     assert analysis.method.converged
     assert analysis.method.objective < obj1
+
+
+def test_opf_user_extension(data_path):
+    """User variables/constraints/objective terms (reference
+    @addVariable/@addConstraint pattern)."""
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.opf.extended import (add_constraint, add_objective_term,
+                                            add_variable, solve_extended)
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = dc_optimal_power_flow(system)
+    dc_solve(analysis)
+    base_obj = analysis.method.objective
+
+    # spinning-reserve style extension: reserve >= 0.2 total, costed
+    analysis2 = dc_optimal_power_flow(system)
+    add_variable(analysis2, "reserve", dim=2, lower=0.0, start=0.1)
+    add_constraint(analysis2,
+                   lambda s: jnp.sum(s["reserve"]) - 0.2, kind="eq")
+    add_objective_term(analysis2,
+                       lambda s: 50.0 * jnp.sum(s["reserve"] ** 2))
+    solve_extended(analysis2)
+    assert analysis2.method.converged
+    r = analysis2.method.user_values["reserve"]
+    assert abs(r.sum() - 0.2) < 1e-6
+    # symmetric quadratic cost splits the reserve evenly
+    assert abs(r[0] - r[1]) < 1e-4
+    # extension adds cost on top of the base dispatch
+    assert analysis2.method.objective > base_obj
