@@ -23,6 +23,19 @@ import jax
 if not os.environ.get("JGTPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: first compiles through the TPU tunnel cost
+# 30-160 s; cached reloads take milliseconds. Opt out with JGTPU_NO_CACHE=1.
+if not os.environ.get("JGTPU_NO_CACHE"):
+    _cache_dir = os.environ.get(
+        "JGTPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "juliagrid_tpu"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 @dataclass
 class Config:
