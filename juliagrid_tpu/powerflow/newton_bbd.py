@@ -1,0 +1,347 @@
+"""Newton-Raphson power flow on the BBD/Schur substrate.
+
+The plain NR path (powerflow/ac.py) builds one dense 2n x 2n Jacobian —
+fine to ~3k buses, impossible at ACTIVSg/SyntheticUSA scale. Here the bus
+graph is partitioned (ops/bbd.py BFS partition, border buses promoted so
+no edge joins interiors of different blocks) and every Jacobian entry is
+routed at compile time to its destination: a per-block interior matrix,
+an interior-border coupling strip, or the border block. Each iteration:
+
+  1. vectorized mismatch + per-entry H/N/J/L values (same closed forms as
+     the dense path),
+  2. four scatter-adds route the values into (k, 2ni, 2ni) interiors,
+     (k, 2ni, 2mb) couplings, and the (2mb, 2mb) border,
+  3. vmapped mixed-precision factorization of the interiors, Schur
+     reduction of the border, back-substitution — O(k * ni^3 + mb^3)
+     instead of O((2n)^3), and the interior factorizations shard over a
+     ``block`` mesh axis for multi-chip single-case solves.
+
+Variable layout: block k holds [θ then V] of its interior buses (padded to
+the max block size); the border holds [θ then V] of border buses. Masking
+(slack angle, non-PQ magnitudes) uses the same identity-row trick as the
+dense path, applied family-wise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import linalg
+from ..ops.bbd import bbd_partition
+from ..system.model import model
+from ..system.types import PowerSystem
+from .ac import (AcPowerFlow, MethodState, Polar, _injections, _mismatch,
+                 compile_ac_arrays, initialize_ac_power_flow)
+
+
+class NrBbdArrays(NamedTuple):
+    # per-entry network data (same as AcArrays)
+    rows: jax.Array
+    cols: jax.Array
+    yg: jax.Array
+    yb: jax.Array
+    diag: jax.Array
+    bus_type: jax.Array
+    slack: jax.Array
+    p_sched: jax.Array
+    q_sched: jax.Array
+    # entry routing: per Y entry x 4 quadrants -> family arrays
+    # family 0: interior-interior, 1: interior-border, 2: border-interior,
+    # 3: border-border. One index set per family.
+    ii_sel: jax.Array   # i32[e0] index into the 4*nnz quadrant value vector
+    ii_blk: jax.Array   # i32[e0]
+    ii_row: jax.Array
+    ii_col: jax.Array
+    ib_sel: jax.Array
+    ib_blk: jax.Array
+    ib_row: jax.Array
+    ib_col: jax.Array
+    bi_sel: jax.Array
+    bi_blk: jax.Array
+    bi_row: jax.Array
+    bi_col: jax.Array
+    bb_sel: jax.Array
+    bb_row: jax.Array
+    bb_col: jax.Array
+    # rhs routing
+    bus_block: jax.Array   # i32[n] block of bus (-1 border)
+    bus_slot: jax.Array    # i32[n] local slot (interior) or border slot
+    # masks in local layouts
+    mask_int: jax.Array    # f64[k, 2ni]
+    mask_bdr: jax.Array    # f64[2mb]
+    n_blocks: int = 0      # static via shape, kept for clarity
+
+
+@dataclass
+class _BbdLayout:
+    k: int
+    ni: int
+    mb: int
+
+
+def compile_nr_bbd(system: PowerSystem, n_blocks: int):
+    base = compile_ac_arrays(system)
+    n = system.bus.number
+    model(system, "ac")
+    adjacency = system.model.ac.nodal.copy()
+    adjacency.eliminate_zeros()
+    block_of, border = bbd_partition(adjacency, n_blocks)
+    k = n_blocks
+    groups = [np.flatnonzero(block_of == b) for b in range(k)]
+    ni = max(len(g) for g in groups)
+    mb = len(border)
+
+    bus_block = block_of.copy()
+    bus_slot = np.zeros(n, dtype=np.int64)
+    for b, g in enumerate(groups):
+        for s, u in enumerate(g):
+            bus_slot[u] = s
+    for q, u in enumerate(border):
+        bus_slot[u] = q
+
+    rows = np.asarray(base.rows)
+    cols = np.asarray(base.cols)
+    nnz = len(rows)
+
+    # quadrant value vector layout: [H(nnz), N(nnz), J(nnz), L(nnz)]
+    # variable local index: θ -> slot, V -> ni + slot (interior) or
+    # mb + slot (border)
+    fam_lists = {0: [], 1: [], 2: [], 3: []}  # (sel, blk, lrow, lcol)
+
+    def var_idx(bus, mag):
+        if bus_block[bus] >= 0:
+            return (int(bus_block[bus]),
+                    int(bus_slot[bus] + (ni if mag else 0)))
+        return (-1, int(bus_slot[bus] + (mb if mag else 0)))
+
+    for e in range(nnz):
+        i, j = int(rows[e]), int(cols[e])
+        for quad, (mi, mj) in enumerate(
+                ((False, False), (False, True), (True, False), (True, True))):
+            # quad order: H (P,θ), N (P,V), J (Q,θ), L (Q,V)
+            bi_, ri = var_idx(i, mi)
+            bj_, cj = var_idx(j, mj)
+            sel = quad * nnz + e
+            if bi_ >= 0 and bj_ >= 0:
+                assert bi_ == bj_, "cross-block interior coupling"
+                fam_lists[0].append((sel, bi_, ri, cj))
+            elif bi_ >= 0:
+                fam_lists[1].append((sel, bi_, ri, cj))
+            elif bj_ >= 0:
+                fam_lists[2].append((sel, bj_, ri, cj))
+            else:
+                fam_lists[3].append((sel, 0, ri, cj))
+
+    def pack(lst):
+        if not lst:
+            return (np.zeros(0, np.int32),) * 4
+        a = np.asarray(lst, dtype=np.int64)
+        return (a[:, 0].astype(np.int32), a[:, 1].astype(np.int32),
+                a[:, 2].astype(np.int32), a[:, 3].astype(np.int32))
+
+    ii = pack(fam_lists[0])
+    ib = pack(fam_lists[1])
+    bi = pack(fam_lists[2])
+    bb = pack(fam_lists[3])
+
+    # masks: active angle vars (bus != slack), active magnitude (PQ)
+    types = system.bus.layout.type.array[:n]
+    slack = system.bus.layout.slack
+    m_ang = (np.arange(n) != slack).astype(np.float64)
+    m_mag = (types == 1).astype(np.float64)
+    mask_int = np.zeros((k, 2 * ni))
+    for b, g in enumerate(groups):
+        for s, u in enumerate(g):
+            mask_int[b, s] = m_ang[u]
+            mask_int[b, ni + s] = m_mag[u]
+    mask_bdr = np.zeros(2 * mb)
+    for q, u in enumerate(border):
+        mask_bdr[q] = m_ang[u]
+        mask_bdr[mb + q] = m_mag[u]
+
+    arr = NrBbdArrays(
+        rows=base.rows, cols=base.cols, yg=base.yg, yb=base.yb,
+        diag=base.diag, bus_type=base.bus_type, slack=base.slack,
+        p_sched=base.p_sched, q_sched=base.q_sched,
+        ii_sel=jnp.asarray(ii[0]), ii_blk=jnp.asarray(ii[1]),
+        ii_row=jnp.asarray(ii[2]), ii_col=jnp.asarray(ii[3]),
+        ib_sel=jnp.asarray(ib[0]), ib_blk=jnp.asarray(ib[1]),
+        ib_row=jnp.asarray(ib[2]), ib_col=jnp.asarray(ib[3]),
+        bi_sel=jnp.asarray(bi[0]), bi_blk=jnp.asarray(bi[1]),
+        bi_row=jnp.asarray(bi[2]), bi_col=jnp.asarray(bi[3]),
+        bb_sel=jnp.asarray(bb[0]), bb_row=jnp.asarray(bb[2]),
+        bb_col=jnp.asarray(bb[3]),
+        bus_block=jnp.asarray(bus_block.astype(np.int32)),
+        bus_slot=jnp.asarray(bus_slot.astype(np.int32)),
+        mask_int=jnp.asarray(mask_int),
+        mask_bdr=jnp.asarray(mask_bdr),
+    )
+    return arr, _BbdLayout(k=k, ni=ni, mb=mb)
+
+
+def _quadrant_values(arr: NrBbdArrays, vm, va):
+    """Per-entry H/N/J/L values, concatenated (4*nnz,), plus injections."""
+    n = vm.shape[0]
+    p, q, _, _ = _injections(arr, vm, va)
+    vi = vm[arr.rows]
+    vj = vm[arr.cols]
+    th = va[arr.rows] - va[arr.cols]
+    sin_t = jnp.sin(th)
+    cos_t = jnp.cos(th)
+    gc_bs = arr.yg * cos_t + arr.yb * sin_t
+    gs_bc = arr.yg * sin_t - arr.yb * cos_t
+
+    off = arr.rows != arr.cols
+    h = jnp.where(off, vi * vj * gs_bc, 0.0)
+    nn = jnp.where(off, vi * gc_bs, 0.0)
+    jj = jnp.where(off, -vi * vj * gc_bs, 0.0)
+    ll = jnp.where(off, vi * gs_bc, 0.0)
+
+    # diagonal corrections land on the diagonal entries of the pattern
+    # (where the per-entry yg/yb ARE Gii/Bii)
+    diag_mask = ~off
+    i_of = arr.rows
+    h = jnp.where(diag_mask, -q[i_of] - arr.yb * vm[i_of] ** 2, h)
+    nn = jnp.where(diag_mask, p[i_of] / vm[i_of] + arr.yg * vm[i_of], nn)
+    jj = jnp.where(diag_mask, p[i_of] - arr.yg * vm[i_of] ** 2, jj)
+    ll = jnp.where(diag_mask, q[i_of] / vm[i_of] - arr.yb * vm[i_of], ll)
+
+    vals = jnp.concatenate([h, nn, jj, ll])
+    return vals, p, q
+
+
+def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
+    n = vm.shape[0]
+    k, ni, mb = layout.k, layout.ni, layout.mb
+    vals, p, q = _quadrant_values(arr, vm, va)
+
+    not_slack = jnp.arange(n) != arr.slack
+    is_pq = arr.bus_type == 1
+    mp = jnp.where(not_slack, p - arr.p_sched, 0.0)
+    mq = jnp.where(is_pq, q - arr.q_sched, 0.0)
+
+    # route Jacobian values
+    a_ii = jnp.zeros((k, 2 * ni, 2 * ni), dtype=vm.dtype)
+    a_ii = a_ii.at[arr.ii_blk, arr.ii_row, arr.ii_col].add(
+        vals[arr.ii_sel])
+    a_ib = jnp.zeros((k, 2 * ni, 2 * mb), dtype=vm.dtype)
+    a_ib = a_ib.at[arr.ib_blk, arr.ib_row, arr.ib_col].add(
+        vals[arr.ib_sel])
+    a_bi = jnp.zeros((k, 2 * mb, 2 * ni), dtype=vm.dtype)
+    a_bi = a_bi.at[arr.bi_blk, arr.bi_row, arr.bi_col].add(
+        vals[arr.bi_sel])
+    a_bb = jnp.zeros((2 * mb, 2 * mb), dtype=vm.dtype)
+    a_bb = a_bb.at[arr.bb_row, arr.bb_col].add(vals[arr.bb_sel])
+
+    # masking: inactive vars -> identity rows/cols (family-wise)
+    mi = arr.mask_int
+    mbd = arr.mask_bdr
+    eye_i = jnp.eye(2 * ni, dtype=vm.dtype)
+    a_ii = mi[:, :, None] * a_ii * mi[:, None, :] \
+        + eye_i[None] * (1.0 - mi)[:, :, None]
+    a_ib = mi[:, :, None] * a_ib * mbd[None, None, :]
+    a_bi = mbd[None, :, None] * a_bi * mi[:, None, :]
+    a_bb = mbd[:, None] * a_bb * mbd[None, :] + jnp.diag(1.0 - mbd)
+
+    # rhs routed to local layouts
+    rhs_p = mp
+    rhs_q = mq
+    interior = arr.bus_block >= 0
+    r_int = jnp.zeros((k, 2 * ni), dtype=vm.dtype)
+    blk_safe = jnp.where(interior, arr.bus_block, 0)
+    r_int = r_int.at[blk_safe, arr.bus_slot].add(
+        jnp.where(interior, rhs_p, 0.0))
+    r_int = r_int.at[blk_safe, ni + arr.bus_slot].add(
+        jnp.where(interior, rhs_q, 0.0))
+    r_bdr = jnp.zeros(2 * mb, dtype=vm.dtype)
+    r_bdr = r_bdr.at[arr.bus_slot].add(jnp.where(interior, 0.0, rhs_p))
+    r_bdr = r_bdr.at[mb + arr.bus_slot].add(jnp.where(interior, 0.0, rhs_q))
+    r_int = r_int * mi
+    r_bdr = r_bdr * mbd
+
+    # Schur solve
+    lu, piv = jax.vmap(linalg.lu_factor32)(a_ii)
+    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, a_ii, r_int)
+    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, a_ii, a_ib)
+    schur = a_bb - jnp.sum(a_bi @ z, axis=0)
+    rhs_b = r_bdr - jnp.sum(jnp.einsum("kmi,ki->km", a_bi, y), axis=0)
+    x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_b)
+    x_i = y - jnp.einsum("kim,m->ki", z, x_b)
+
+    # gather increments back to global (θ, V)
+    d_ang = jnp.where(
+        interior,
+        x_i[blk_safe, arr.bus_slot],
+        x_b[arr.bus_slot])
+    d_mag = jnp.where(
+        interior,
+        x_i[blk_safe, ni + arr.bus_slot],
+        x_b[mb + arr.bus_slot])
+
+    va_new = va - jnp.where(not_slack, d_ang, 0.0)
+    vm_new = vm - jnp.where(is_pq, d_mag, 0.0)
+    return vm_new, va_new
+
+
+@partial(jax.jit, static_argnames=("k", "ni", "mb", "max_iter"))
+def _nr_bbd_solve(arr: NrBbdArrays, k, ni, mb, vm, va, tol, max_iter):
+    layout = _BbdLayout(k=k, ni=ni, mb=mb)
+    mp, mq, del_p, del_q = _mismatch(arr, vm, va)
+
+    def cond(carry):
+        vm, va, it, del_p, del_q = carry
+        return (~((del_p < tol) & (del_q < tol))) & (it < max_iter)
+
+    def body(carry):
+        vm, va, it, _, _ = carry
+        vm, va = _nr_bbd_step(arr, layout, vm, va)
+        _, _, del_p, del_q = _mismatch(arr, vm, va)
+        return vm, va, it + 1, del_p, del_q
+
+    vm, va, it, del_p, del_q = jax.lax.while_loop(
+        cond, body, (vm, va, jnp.int64(0), del_p, del_q))
+    return vm, va, it, del_p, del_q, (del_p < tol) & (del_q < tol)
+
+
+def newton_raphson_bbd(system: PowerSystem, n_blocks: int = 4) -> AcPowerFlow:
+    """NR power flow with the BBD/Schur linear-solver substrate."""
+    system.check_slack()
+    model(system, "ac")
+    magnitude, angle = initialize_ac_power_flow(system)
+    arrays, layout = compile_nr_bbd(system, n_blocks)
+    rev = system.model.revision
+    analysis = AcPowerFlow(
+        system=system,
+        voltage=Polar(magnitude, angle),
+        method=MethodState("newton_raphson_bbd"),
+        arrays=arrays,
+        signature={"ac_model": rev.ac_model, "ac_pattern": rev.ac_pattern,
+                   "type": rev.type, "injection": rev.injection,
+                   "slack": rev.slack},
+    )
+    analysis._bbd_layout = layout
+    return analysis
+
+
+def power_flow_bbd(analysis: AcPowerFlow, iteration: int = 20,
+                   tolerance: float = 1e-8):
+    """Driver for the BBD NR analysis."""
+    layout = analysis._bbd_layout
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    vm, va, it, del_p, del_q, conv = _nr_bbd_solve(
+        analysis.arrays, layout.k, layout.ni, layout.mb, vm, va,
+        tolerance, iteration)
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    analysis.method.iteration = int(it)
+    analysis.method.converged = bool(conv)
+    analysis.method.max_mismatch_active = float(del_p)
+    analysis.method.max_mismatch_reactive = float(del_q)
+    return analysis

@@ -1,0 +1,38 @@
+"""BBD-substrate Newton-Raphson: equivalence with the dense path."""
+
+import numpy as np
+import pytest
+
+import juliagrid_tpu as jg
+from juliagrid_tpu.powerflow.ac import newton_raphson
+from juliagrid_tpu.powerflow.driver import power_flow
+from juliagrid_tpu.powerflow.newton_bbd import (newton_raphson_bbd,
+                                                power_flow_bbd)
+from juliagrid_tpu.utils.synthetic import synthetic_grid
+
+
+def test_bbd_nr_matches_dense_case30(data_path):
+    system = jg.power_system(str(data_path / "case30test.m"))
+    dense = newton_raphson(system)
+    power_flow(dense)
+
+    bbd = newton_raphson_bbd(system, n_blocks=3)
+    power_flow_bbd(bbd)
+    assert bbd.method.converged
+    assert bbd.method.iteration == dense.method.iteration
+    np.testing.assert_allclose(bbd.voltage.magnitude,
+                               dense.voltage.magnitude, atol=1e-9)
+    np.testing.assert_allclose(bbd.voltage.angle, dense.voltage.angle,
+                               atol=1e-9)
+
+
+def test_bbd_nr_synthetic_grid():
+    system = synthetic_grid(10, 12)
+    dense = newton_raphson(system)
+    power_flow(dense)
+
+    bbd = newton_raphson_bbd(system, n_blocks=4)
+    power_flow_bbd(bbd)
+    assert bbd.method.converged
+    np.testing.assert_allclose(bbd.voltage.magnitude,
+                               dense.voltage.magnitude, atol=1e-9)
