@@ -49,6 +49,20 @@ def synthetic_grid(rows: int, cols: int, seed: int = 7):
                            reactance=float(rng.uniform(0.05, 0.2)),
                            susceptance=float(rng.uniform(0.0, 0.04)))
 
+    # transmission backbone: low-impedance long-range ties every 5 nodes
+    # keep large lattices electrically stiff (real grids have an EHV layer;
+    # without it NR diverges from flat start beyond ~2k buses)
+    for r in range(0, rows, 5):
+        for c in range(0, cols, 5):
+            if c + 5 < cols:
+                add_branch(system,
+                           from_bus=bus_id(r, c), to_bus=bus_id(r, c + 5),
+                           resistance=0.002, reactance=0.02)
+            if r + 5 < rows:
+                add_branch(system,
+                           from_bus=bus_id(r, c), to_bus=bus_id(r + 5, c),
+                           resistance=0.002, reactance=0.02)
+
     total_load = sum(system.bus.demand.active.array)
     n_gen = (n + gen_every - 1) // gen_every
     per_gen = 1.1 * total_load / n_gen
