@@ -121,6 +121,13 @@ def print_bus_data(analysis, file=None, label=None):
             tbl.add_column("Power Injection Reactive",
                            [p.injection.reactive[i] * p_scale for i in idxs],
                            units.reactive_power)
+        if len(getattr(getattr(p, "shunt", object()), "active", [])):
+            tbl.add_column("Shunt Power Active",
+                           [p.shunt.active[i] * p_scale for i in idxs],
+                           units.active_power)
+            tbl.add_column("Shunt Power Reactive",
+                           [p.shunt.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
     return tbl.render(file)
 
 
@@ -147,6 +154,21 @@ def print_branch_data(analysis, file=None, label=None):
         tbl.add_column("To-Bus Power Active",
                        [p.to.active[i] * p_scale for i in idxs],
                        units.active_power)
+        if len(getattr(p.from_, "reactive", [])):
+            tbl.add_column("From-Bus Power Reactive",
+                           [p.from_.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
+            tbl.add_column("To-Bus Power Reactive",
+                           [p.to.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
+        if len(getattr(getattr(p, "series", object()), "active", [])):
+            tbl.add_column("Series Loss Active",
+                           [p.series.active[i] * p_scale for i in idxs],
+                           units.active_power)
+        if len(getattr(getattr(p, "charging", object()), "reactive", [])):
+            tbl.add_column("Charging Reactive",
+                           [p.charging.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
     return tbl.render(file)
 
 
@@ -221,7 +243,25 @@ def print_generator_summary(analysis, file=None):
     return tbl.render(file)
 
 
-def _meter_table(title, store, meter, label_fn, residual=None, file=None):
+def _se_residuals_by_device(analysis, kind):
+    """Map SE residuals back to devices of one kind (first matching row)."""
+    if analysis is None or getattr(analysis.method, "row_device", None) \
+            is None:
+        return None
+    if analysis.method.residual is None:
+        try:
+            from ..estimation.acse import residuals
+            residuals(analysis)
+        except Exception:
+            return None
+    out = {}
+    for row, (k, dev) in enumerate(analysis.method.row_device):
+        if k == kind and dev not in out:
+            out[dev] = analysis.method.residual[row]
+    return out
+
+
+def _meter_table(title, store, meter, kind, analysis=None, file=None):
     tbl = Table(title=title)
     count = store.number
     tbl.add_column("Label", [str(store.label.label(i))
@@ -230,33 +270,35 @@ def _meter_table(title, store, meter, label_fn, residual=None, file=None):
     tbl.add_column("Measurement Variance", meter.variance.array[:count],
                    fmt="{:.2e}")
     tbl.add_column("Status", meter.status.array[:count])
-    if residual is not None:
-        tbl.add_column("Residual", residual)
+    res = _se_residuals_by_device(analysis, kind)
+    if res is not None:
+        tbl.add_column("Residual",
+                       [res.get(i) for i in range(count)], fmt="{:.2e}")
     return tbl.render(file)
 
 
 def print_voltmeter_data(monitoring, analysis=None, file=None):
     return _meter_table("Voltmeter Data", monitoring.voltmeter,
-                        monitoring.voltmeter.magnitude,
-                        monitoring.voltmeter.label, file=file)
+                        monitoring.voltmeter.magnitude, "voltmeter",
+                        analysis, file=file)
 
 
 def print_ammeter_data(monitoring, analysis=None, file=None):
     return _meter_table("Ammeter Data", monitoring.ammeter,
-                        monitoring.ammeter.magnitude,
-                        monitoring.ammeter.label, file=file)
+                        monitoring.ammeter.magnitude, "ammeter",
+                        analysis, file=file)
 
 
 def print_wattmeter_data(monitoring, analysis=None, file=None):
     return _meter_table("Wattmeter Data", monitoring.wattmeter,
-                        monitoring.wattmeter.active,
-                        monitoring.wattmeter.label, file=file)
+                        monitoring.wattmeter.active, "wattmeter",
+                        analysis, file=file)
 
 
 def print_varmeter_data(monitoring, analysis=None, file=None):
     return _meter_table("Varmeter Data", monitoring.varmeter,
-                        monitoring.varmeter.reactive,
-                        monitoring.varmeter.label, file=file)
+                        monitoring.varmeter.reactive, "varmeter",
+                        analysis, file=file)
 
 
 def print_pmu_data(monitoring, analysis=None, file=None):

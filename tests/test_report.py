@@ -43,3 +43,26 @@ def test_constraint_tables(data_path):
     assert "Active Balance Dual" in out
     out = jg.print_generator_constraint(analysis, file=buf)
     assert "Generator Constraint" in out
+
+
+def test_measurement_residual_column(data_path):
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf)
+    ac_power(pf)
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+
+    buf = io.StringIO()
+    out = jg.print_wattmeter_data(monitoring, analysis=se, file=buf)
+    assert "Residual" in out
