@@ -83,3 +83,42 @@ def test_dc_power_flow_powers(data_path):
     power_flow(analysis)
     dc_power(analysis)
     assert_dc_power(golden, analysis)
+
+
+def test_compare_ac_methods(data_path):
+    """All AC methods converge to the same solution (reference
+    'Compare AC Power Flows Methods' testset)."""
+    from juliagrid_tpu.powerflow.fast_decoupled import (
+        fast_newton_raphson_bx, fast_newton_raphson_xb)
+    from juliagrid_tpu.powerflow.gauss_seidel import gauss_seidel
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    nr = newton_raphson(system)
+    power_flow(nr)
+
+    for build, kwargs in ((fast_newton_raphson_bx, dict(iteration=300)),
+                          (fast_newton_raphson_xb, dict(iteration=300)),
+                          (gauss_seidel, dict(iteration=1000,
+                                              tolerance=1e-9))):
+        analysis = build(system)
+        power_flow(analysis, **kwargs)
+        assert analysis.method.converged
+        np.testing.assert_allclose(analysis.voltage.magnitude,
+                                   nr.voltage.magnitude, atol=1e-7)
+        np.testing.assert_allclose(analysis.voltage.angle,
+                                   nr.voltage.angle, atol=1e-7)
+
+
+def test_stepwise_api(data_path):
+    """Reference mismatch!/solve! stepwise loop."""
+    from juliagrid_tpu.powerflow.ac import mismatch, solve
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = newton_raphson(system)
+    for _ in range(20):
+        dp, dq = mismatch(analysis)
+        if dp < 1e-8 and dq < 1e-8:
+            break
+        solve(analysis)
+    assert dp < 1e-8 and dq < 1e-8
+    golden = h5group(data_path / "results.h5", "case14test/newtonRaphson")
+    assert analysis.method.iteration == int(golden["iteration"][0])
