@@ -21,9 +21,13 @@ def measurement(system, path: str | None = None) -> Measurement:
     return monitoring
 
 
-def ems(system_file: str | None = None, monitoring_file: str | None = None,
+def ems(system_file: str | None = None, *monitoring_files,
         optimal: bool = True):
-    """One-call bootstrap: returns (system, monitoring)."""
+    """One-call bootstrap (reference ems, measurement/load.jl:134-163):
+    returns (system, monitoring[, pseudo, ...]) — one Measurement per
+    monitoring file (or a single empty one when none is given)."""
     system = power_system(system_file, optimal=optimal)
-    monitoring = measurement(system, monitoring_file)
-    return system, monitoring
+    if not monitoring_files:
+        return system, measurement(system)
+    sets = tuple(measurement(system, f) for f in monitoring_files)
+    return (system, *sets)

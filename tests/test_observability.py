@@ -108,3 +108,34 @@ def test_pmu_placement_observable(solved14):
     np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
                                atol=1e-6)
     np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-6)
+
+
+def test_restoration_with_reference_fixtures(data_path):
+    """End-to-end on the reference's own fixture files: limited wattmeter
+    set -> islands -> restoration from pseudo.h5 (the reference's
+    restorationGram! doctest scenario)."""
+    from juliagrid_tpu.measurement.configuration import seed, status_wattmeter
+
+    system, monitoring, pseudo = jg.ems(
+        str(data_path / "case14.h5"), str(data_path / "monitoring.h5"),
+        str(data_path / "pseudo.h5"))
+    seed(4)
+    status_wattmeter(monitoring, inservice=10)
+    # pair varmeter statuses with wattmeters (standard observability) and
+    # retire the PMUs — monitoring.h5 ships full bus-PMU coverage, which
+    # makes the system observable regardless of the wattmeter set
+    for i in range(monitoring.varmeter.number):
+        monitoring.varmeter.reactive.status[i] = \
+            monitoring.wattmeter.active.status[i]
+    for i in range(monitoring.pmu.number):
+        monitoring.pmu.magnitude.status[i] = 0
+        monitoring.pmu.angle.status[i] = 0
+    monitoring.changed()
+
+    islands = island_topological(monitoring)
+    n_before = len(islands.island)
+    assert n_before > 1
+
+    restoration_gram(monitoring, pseudo, islands)
+    islands2 = island_topological(monitoring)
+    assert len(islands2.island) < n_before
