@@ -59,5 +59,61 @@ def main():
         print(json.dumps(results[-1]))
 
 
+def se_scale(rows=37, cols=37, nscen=16):
+    """Batched WLS SE at pegase-1354 class size (BASELINE configs 3/5)."""
+    import jax.numpy as jnp
+
+    import juliagrid_tpu as jg
+    from juliagrid_tpu.estimation.acse import compile_se_arrays
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
+    from juliagrid_tpu.postprocessing.ac import power as ac_power
+    from juliagrid_tpu.powerflow.ac import compile_ac_arrays, newton_raphson
+    from juliagrid_tpu.powerflow.driver import power_flow
+    from juliagrid_tpu.utils.synthetic import synthetic_grid
+
+    system = synthetic_grid(rows, cols)
+    pf = newton_raphson(system)
+    power_flow(pf)
+    ac_power(pf)
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    arr, _, _ = compile_se_arrays(system, monitoring)
+    net = compile_ac_arrays(system)
+
+    n = system.bus.number
+    rng = np.random.default_rng(7)
+    base_mean = np.asarray(arr.mean)
+    sigma = 1.0 / np.sqrt(np.asarray(arr.w))
+    means = jnp.asarray(base_mean[None, :] + 0.3 * sigma[None, :]
+                        * rng.standard_normal((nscen, len(base_mean))))
+    vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
+                              (nscen, 1)))
+    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n],
+                              (nscen, 1)))
+    out = batched_se_solve_jit(arr, net, vm0, va0, means,
+                               tol=1e-8, max_iter=40)
+    out[0].block_until_ready()
+    t0 = time.perf_counter()
+    out = batched_se_solve_jit(arr, net, vm0, va0, means,
+                               tol=1e-8, max_iter=40)
+    out[0].block_until_ready()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "se_buses": n,
+        "se_rows": len(base_mean),
+        "se_batch": nscen,
+        "se_batch_wall_s": round(dt, 4),
+        "se_converged": int(np.asarray(out[3]).sum()),
+        "se_solve_s_amortized": round(dt / nscen, 4),
+    }))
+
+
 if __name__ == "__main__":
     main()
+    se_scale()
