@@ -45,7 +45,8 @@ def add_bus(system: PowerSystem, label=None, *, type=None, active=None,
     idx = bus.label.add(label)
     bus.number += 1
 
-    base_voltage = base if base is not None else tpl.base * u.pfx_base_voltage
+    base_voltage = (base * u.pfx_base_voltage if base is not None
+                    else tpl.base * u.pfx_base_voltage)
     system.base.voltage.value.append(base_voltage)
 
     base_power_inv = 1.0 / (system.base.power.value * system.base.power.prefix)
@@ -103,7 +104,7 @@ def update_bus(system: PowerSystem, label, *, type=None, active=None,
     base_power_inv = 1.0 / (system.base.power.value * system.base.power.prefix)
 
     if base is not None:
-        system.base.voltage.value[idx] = base
+        system.base.voltage.value[idx] = base * u.pfx_base_voltage
     base_voltage_inv = 1.0 / system.base.voltage.value[idx]
     vbase_inv = math.sqrt(3) * base_voltage_inv
 
