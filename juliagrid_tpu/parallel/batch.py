@@ -171,3 +171,30 @@ def sharded_se_solve(mesh: Mesh, arr, net, vm0, va0, means,
     vm0, va0, means = (jax.device_put(x, shard) for x in (vm0, va0, means))
     return batched_se_solve_jit(arr, net, vm0, va0, means,
                                 tol=tol, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------------------
+# f32 fast path: full-MXU-speed fleets at relaxed tolerance
+# ---------------------------------------------------------------------------
+
+def batched_nr_solve_f32(arr: AcArrays, vm0, va0, p_sched, q_sched,
+                         tol: float = 1e-5, max_iter: int = 20):
+    """Newton-Raphson fleet in pure f32 (no refinement).
+
+    f64 on TPU is software-emulated; casting the network snapshot and
+    states to f32 roughly doubles throughput. Converges to ~1e-5 mismatch
+    — document as the screening mode; rerun suspicious scenarios through
+    the f64 path.
+    """
+    arr32 = arr._replace(
+        yg=arr.yg.astype(jnp.float32), yb=arr.yb.astype(jnp.float32),
+        p_sched=arr.p_sched.astype(jnp.float32),
+        q_sched=arr.q_sched.astype(jnp.float32))
+    return batched_nr_solve(
+        arr32, vm0.astype(jnp.float32), va0.astype(jnp.float32),
+        p_sched.astype(jnp.float32), q_sched.astype(jnp.float32),
+        tol=tol, max_iter=max_iter)
+
+
+batched_nr_solve_f32_jit = jax.jit(batched_nr_solve_f32,
+                                   static_argnames=("tol", "max_iter"))

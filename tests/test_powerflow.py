@@ -122,3 +122,30 @@ def test_stepwise_api(data_path):
     assert dp < 1e-8 and dq < 1e-8
     golden = h5group(data_path / "results.h5", "case14test/newtonRaphson")
     assert analysis.method.iteration == int(golden["iteration"][0])
+
+
+def test_f32_fleet_screening(data_path):
+    """f32 fast path converges to screening tolerance."""
+    import jax.numpy as jnp
+    from juliagrid_tpu.parallel.batch import (batched_nr_solve_f32_jit,
+                                              batched_nr_solve_jit)
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = newton_raphson(system)
+    arr = analysis.arrays
+    nscen = 8
+    rng = np.random.default_rng(2)
+    scale = 1.0 + 0.03 * rng.standard_normal(nscen)
+    vm0 = jnp.asarray(np.tile(analysis.voltage.magnitude, (nscen, 1)))
+    va0 = jnp.asarray(np.tile(analysis.voltage.angle, (nscen, 1)))
+    ps = jnp.asarray(np.asarray(arr.p_sched)[None, :] * scale[:, None])
+    qs = jnp.asarray(np.asarray(arr.q_sched)[None, :] * scale[:, None])
+
+    vm64, va64, _, conv64 = batched_nr_solve_jit(arr, vm0, va0, ps, qs,
+                                                 tol=1e-8, max_iter=20)
+    vm32, va32, _, conv32 = batched_nr_solve_f32_jit(arr, vm0, va0, ps, qs,
+                                                     tol=1e-4, max_iter=20)
+    assert bool(jnp.all(conv64)) and bool(jnp.all(conv32))
+    assert vm32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(vm32), np.asarray(vm64),
+                               atol=5e-4)
