@@ -109,3 +109,52 @@ def test_psse_matches_matpower_fixture(data_path):
     np.testing.assert_allclose(raw.generator.output.active.array,
                                mfile.generator.output.active.array,
                                atol=1e-6)
+
+
+def test_psse_three_winding_transformer(tmp_path):
+    """3-winding transformers expand to a star bus + three branches
+    (reference load.jl:1106-1251)."""
+    raw = """0,   100.00, 33, 0, 0, 60.00
+TITLE LINE ONE
+TITLE LINE TWO
+    1, 'Bus 1', 138.0, 3, 1, 1, 1, 1.02, 0.00, 1.1, 0.9, 1.1, 0.9
+    2, 'Bus 2', 138.0, 1, 1, 1, 1, 1.00, 0.00, 1.1, 0.9, 1.1, 0.9
+    3, 'Bus 3', 69.0, 1, 1, 1, 1, 1.00, 0.00, 1.1, 0.9, 1.1, 0.9
+0 / END OF BUS DATA, BEGIN LOAD DATA
+    2, '1', 1, 1, 1, 20.00, 8.00, 0.00, 0.00, 0.00, 0.00, 1, 1
+    3, '1', 1, 1, 1, 10.00, 4.00, 0.00, 0.00, 0.00, 0.00, 1, 1
+0 / END OF LOAD DATA, BEGIN FIXED SHUNT DATA
+0 / END OF FIXED SHUNT DATA, BEGIN GENERATOR DATA
+    1,'1', 35.00, 10.00, 50.00, -50.00, 1.02, 0, 100.00, 0.00, 1.00, 0.00, 0.00, 1.00, 1, 100.00, 100.00, 0.00, 1, 1.00, 0, 1.00, 0, 1.00, 0, 1.00, 0, 1.00
+0 / END OF GENERATOR DATA, BEGIN BRANCH DATA
+     1, 2, '1', 0.01, 0.05, 0.02, 100.0, 100.0, 100.0, 0.0, 0.0, 0.0, 0.0, 1, 1, 0.0, 1, 1.00, 0, 1.00, 0, 1.00, 0, 1.00
+0 / END OF BRANCH DATA, BEGIN TRANSFORMER DATA
+     1, 2, 3, '1', 1, 1, 1, 0.0, 0.0, 2, 'T3W', 1, 1, 1.00, 0, 1.00, 0, 1.00, 0, 1.00, ' '
+     0.01, 0.08, 100.0, 0.01, 0.06, 100.0, 0.01, 0.07, 100.0, 1.0, 0.0
+     1.0, 0.0, 0.0, 50.0, 50.0, 50.0, 0, 0, 1.1, 0.9, 1.1, 0.9, 33, 0, 0.0, 0.0, 0.0
+     1.0, 0.0, 0.0, 50.0, 50.0, 50.0, 0, 0, 1.1, 0.9, 1.1, 0.9, 33, 0, 0.0, 0.0, 0.0
+     1.0, 0.0, 0.0, 50.0, 50.0, 50.0, 0, 0, 1.1, 0.9, 1.1, 0.9, 33, 0, 0.0, 0.0, 0.0
+0 / END OF TRANSFORMER DATA, BEGIN AREA DATA
+Q
+"""
+    path = tmp_path / "t3w.raw"
+    path.write_text(raw)
+    system = jg.power_system(str(path))
+    # 3 buses + 1 star bus; 1 line + 3 transformer branches
+    assert system.bus.number == 4
+    assert system.branch.number == 4
+    # star arms: (R12 - R23 + R31)/2 etc.
+    r = system.branch.parameter.resistance
+    x = system.branch.parameter.reactance
+    np.testing.assert_allclose(r[1], (0.01 - 0.01 + 0.01) / 2)
+    np.testing.assert_allclose(x[1], (0.08 - 0.06 + 0.07) / 2)
+    np.testing.assert_allclose(x[2], (0.08 + 0.06 - 0.07) / 2)
+    np.testing.assert_allclose(x[3], (-0.08 + 0.06 + 0.07) / 2)
+    # all arms end at the star bus
+    star = 3
+    assert all(int(system.branch.layout.to_bus[k]) == star
+               for k in (1, 2, 3))
+    # and the expanded system solves
+    analysis = newton_raphson(system)
+    power_flow(analysis)
+    assert analysis.method.converged
