@@ -86,3 +86,29 @@ def test_opf_user_extension(data_path):
     assert abs(r[0] - r[1]) < 1e-4
     # extension adds cost on top of the base dispatch
     assert analysis2.method.objective > base_obj
+
+
+def test_ac_opf_powers_matpower(data_path):
+    """OPF postprocessing parity vs the golden power columns."""
+    from juliagrid_tpu.postprocessing.ac import power as ac_power
+    system = jg.power_system(str(data_path / "case14optimal.m"))
+    golden = h5group(data_path / "results.h5",
+                     "case14optimal/acOptimalPowerFlow")
+    analysis = ac_optimal_power_flow(system)
+    ac_solve(analysis)
+    ac_power(analysis)
+    p = analysis.power
+    np.testing.assert_allclose(p.injection.active,
+                               golden["injectionActive"], atol=1e-5)
+    np.testing.assert_allclose(p.injection.reactive,
+                               golden["injectionReactive"], atol=1e-5)
+    np.testing.assert_allclose(p.from_.active, golden["fromActive"],
+                               atol=1e-5)
+    np.testing.assert_allclose(p.to.reactive, golden["toReactive"],
+                               atol=1e-5)
+    np.testing.assert_allclose(p.series.active, golden["lossActive"],
+                               atol=1e-5)
+    np.testing.assert_allclose(p.shunt.reactive, golden["shuntReactive"],
+                               atol=1e-5)
+    np.testing.assert_allclose(p.supply.active, golden["supplyActive"],
+                               atol=1e-5)
