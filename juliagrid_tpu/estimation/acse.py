@@ -522,6 +522,57 @@ def _se_solve(arr: SeArrays, net: AcArrays, vm, va, tol: float,
     return vm, va, it, maxinc, maxinc < tol
 
 
+def _wls_objective(arr: SeArrays, net: AcArrays, vm, va):
+    """J(x) = r' W r (incl. correlated PMU cross terms)."""
+    _, h = build_h(arr, net, vm, va)
+    r = arr.mean - h
+    val = jnp.sum(arr.w * r * r)
+    if arr.pair_r1.shape[0]:
+        val = val + jnp.sum(2.0 * arr.pair_off * r[arr.pair_r1]
+                            * r[arr.pair_r2])
+    return val
+
+
+@partial(jax.jit, static_argnames=("kind", "max_iter"))
+def _se_solve_damped(arr: SeArrays, net: AcArrays, vm, va, tol: float,
+                     max_iter: int, kind: str):
+    """Gauss-Newton with backtracking on the WLS objective — robust for
+    low-redundancy / polar-phasor sets from flat starts (the reference's
+    plain iteration can diverge there)."""
+    dx, maxinc = gn_increment(arr, net, vm, va, kind)
+    n = vm.shape[0]
+
+    def cond(carry):
+        vm, va, dx, maxinc, it = carry
+        return (maxinc >= tol) & (it < max_iter)
+
+    def body(carry):
+        vm, va, dx, _, it = carry
+        j0 = _wls_objective(arr, net, vm, va)
+
+        def bt_cond(c):
+            alpha, j_new = c
+            return (j_new > j0) & (alpha > 0.03)
+
+        def bt_body(c):
+            alpha, _ = c
+            alpha = alpha * 0.5
+            j_new = _wls_objective(arr, net, vm + alpha * dx[n:],
+                                   va + alpha * dx[:n])
+            return alpha, j_new
+
+        j1 = _wls_objective(arr, net, vm + dx[n:], va + dx[:n])
+        alpha, _ = jax.lax.while_loop(bt_cond, bt_body, (1.0, j1))
+        va = va + alpha * dx[:n]
+        vm = vm + alpha * dx[n:]
+        dx, maxinc = gn_increment(arr, net, vm, va, kind)
+        return vm, va, dx, maxinc, it + 1
+
+    vm, va, dx, maxinc, it = jax.lax.while_loop(
+        cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
+    return vm, va, it, maxinc, maxinc < tol
+
+
 _gn_increment_jit = jax.jit(gn_increment, static_argnames="kind")
 _build_h_jit = jax.jit(build_h)
 
@@ -586,7 +637,7 @@ def solve(analysis: AcStateEstimation):
 
 def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
                      power: bool = False, current: bool = False,
-                     verbose: int | None = None):
+                     damping: bool = False, verbose: int | None = None):
     """Reference stateEstimation! driver. Dispatches on analysis type."""
     from .dcse import DcStateEstimation, dc_se_solve
     from .pmuse import PmuStateEstimation, pmu_se_solve
@@ -605,7 +656,8 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
     va = jnp.asarray(analysis.voltage.angle)
     kind = linalg.QR if analysis.method.factorization == linalg.QR \
         else linalg.LU
-    vm, va, it, maxinc, converged = _se_solve(
+    solver = _se_solve_damped if damping else _se_solve
+    vm, va, it, maxinc, converged = solver(
         analysis.arrays, analysis.net, vm, va, tolerance, iteration, kind)
     analysis.voltage.magnitude = np.asarray(vm)
     analysis.voltage.angle = np.asarray(va)

@@ -126,3 +126,29 @@ def test_dc_se_reproduces_dc_pf(data_path):
     se = dc_state_estimation(monitoring)
     state_estimation(se)
     np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle, atol=1e-8)
+
+
+def test_damped_gn_converges_on_hard_polar_set(solved14):
+    """Full polar PMU coverage diverges with plain GN from flat start and
+    its WLS objective is multimodal (even the reference avoids this
+    configuration). The robust workflow: warm-start from the linear
+    rectangular PMU estimator, then damped Gauss-Newton."""
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    add_pmu(monitoring, analysis=pf, polar=True)
+
+    lin = pmu_state_estimation(monitoring)
+    state_estimation(lin)
+
+    se = gauss_newton(monitoring)
+    se.voltage.magnitude = lin.voltage.magnitude.copy()
+    se.voltage.angle = lin.voltage.angle.copy()
+    state_estimation(se, damping=True, iteration=200)
+    assert se.method.converged
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-7)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle,
+                               atol=1e-7)
