@@ -44,6 +44,7 @@ from .powerflow.gauss_seidel import gauss_seidel
 from .powerflow.dc import dc_power_flow
 from .powerflow.driver import power_flow
 from .powerflow.limits import adjust_angle, reactive_limit
+from .powerflow.newton_bbd import newton_raphson_bbd, power_flow_bbd
 
 # optimal power flow
 from .opf.acopf import ac_optimal_power_flow

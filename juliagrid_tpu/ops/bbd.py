@@ -200,3 +200,52 @@ def bbd_solve_sharded(mesh, arr: BbdArrays, rhs, axis: str = "block"):
         x = x.at[arr.interior_idx[b]].add(
             x_i[b] * arr.interior_mask[b])
     return x
+
+
+class BbdFactors(NamedTuple):
+    """Precomputed BBD factorization: per-block f32 LU factors, the
+    interior-solved coupling Z = A_ii^-1 B, and the factored Schur
+    complement. Amortizes across iterations for constant matrices
+    (fast-decoupled B'/B'', DC nodal, SE gain patterns)."""
+
+    lu: jax.Array
+    piv: jax.Array
+    a_ii: jax.Array
+    z: jax.Array
+    a_bi: jax.Array
+    schur_lu: jax.Array
+    schur_piv: jax.Array
+    schur: jax.Array
+    interior_idx: jax.Array
+    interior_mask: jax.Array
+    border_idx: jax.Array
+
+
+@jax.jit
+def bbd_precompute(arr: BbdArrays) -> BbdFactors:
+    lu, piv = jax.vmap(linalg.lu_factor32)(arr.a_ii)
+    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, arr.a_ii, arr.a_ib)
+    schur = arr.a_bb - jnp.sum(arr.a_bi @ z, axis=0)
+    schur_lu, schur_piv = linalg.lu_factor32(schur)
+    return BbdFactors(
+        lu=lu, piv=piv, a_ii=arr.a_ii, z=z, a_bi=arr.a_bi,
+        schur_lu=schur_lu, schur_piv=schur_piv, schur=schur,
+        interior_idx=arr.interior_idx, interior_mask=arr.interior_mask,
+        border_idx=arr.border_idx)
+
+
+def bbd_presolved_solve(f: BbdFactors, rhs):
+    """Solve with precomputed factors: triangular solves + one reduction."""
+    r_i = jax.vmap(lambda idx, msk: rhs[idx] * msk)(
+        f.interior_idx, f.interior_mask)
+    r_b = rhs[f.border_idx]
+    y = jax.vmap(linalg.lu_solve_refined)(f.lu, f.piv, f.a_ii, r_i)
+    rhs_b = r_b - jnp.sum(jnp.einsum("kmi,ki->km", f.a_bi, y), axis=0)
+    x_b = linalg.lu_solve_refined(f.schur_lu, f.schur_piv, f.schur, rhs_b)
+    x_i = y - jnp.einsum("kim,m->ki", f.z, x_b)
+    n = rhs.shape[0]
+    x = jnp.zeros(n, dtype=rhs.dtype).at[f.border_idx].set(x_b)
+    k = f.a_ii.shape[0]
+    for b in range(k):
+        x = x.at[f.interior_idx[b]].add(x_i[b] * f.interior_mask[b])
+    return x

@@ -252,3 +252,94 @@ def fnr_solve_step(analysis: AcPowerFlow):
     analysis.voltage.magnitude = np.asarray(vm)
     analysis.voltage.angle = np.asarray(va)
     analysis.method.iteration += 1
+
+
+# ---------------------------------------------------------------------------
+# Fast decoupled on the BBD substrate (constant factors amortize perfectly)
+# ---------------------------------------------------------------------------
+
+def fast_newton_raphson_bbd(system: PowerSystem, bx: bool = True,
+                            n_blocks: int = 4) -> AcPowerFlow:
+    """Fast-decoupled PF with B'/B'' factorized once in BBD form —
+    the large-network variant of fast_newton_raphson_bx/xb."""
+    from ..ops.bbd import (bbd_partition, bbd_precompute, build_bbd_arrays)
+    from ..system.model import model as _model
+
+    system.check_slack()
+    _model(system, "ac")
+    magnitude, angle = initialize_ac_power_flow(system)
+    base = compile_ac_arrays(system)
+    bp, bq = _fnr_matrices(system, bx)
+
+    adjacency = system.model.ac.nodal.copy()
+    adjacency.eliminate_zeros()
+    block_of, border = bbd_partition(adjacency, n_blocks)
+    f_p = bbd_precompute(build_bbd_arrays(bp, block_of, border))
+    f_q = bbd_precompute(build_bbd_arrays(bq, block_of, border))
+
+    rev = system.model.revision
+    name = "fast_newton_raphson_bbd_bx" if bx \
+        else "fast_newton_raphson_bbd_xb"
+    analysis = AcPowerFlow(
+        system=system,
+        voltage=Polar(magnitude, angle),
+        method=MethodState(name),
+        arrays=base,
+        signature={"ac_model": rev.ac_model, "ac_pattern": rev.ac_pattern,
+                   "type": rev.type, "injection": rev.injection,
+                   "slack": rev.slack},
+    )
+    analysis._bbd_factors = (f_p, f_q)
+    return analysis
+
+
+@partial(jax.jit, static_argnames="max_iter")
+def _fnr_bbd_solve(arr, f_p, f_q, vm, va, tol, max_iter):
+    from ..ops.bbd import bbd_presolved_solve
+
+    n = vm.shape[0]
+    not_slack = jnp.arange(n) != arr.slack
+    is_pq = arr.bus_type == 1
+
+    def mism(vm, va):
+        p, q, _, _ = _injections(arr, vm, va)
+        mp = jnp.where(not_slack, (p - arr.p_sched) / vm, 0.0)
+        mq = jnp.where(is_pq, (q - arr.q_sched) / vm, 0.0)
+        return mp, mq, jnp.max(jnp.abs(mp)), jnp.max(jnp.abs(mq))
+
+    mp, mq, del_p, del_q = mism(vm, va)
+
+    def cond(carry):
+        vm, va, it, del_p, del_q, mp = carry
+        return (~((del_p < tol) & (del_q < tol))) & (it < max_iter)
+
+    def body(carry):
+        vm, va, it, _, _, mp = carry
+        dva = bbd_presolved_solve(f_p, mp)
+        va = va + jnp.where(not_slack, dva, 0.0)
+        p, q, _, _ = _injections(arr, vm, va)
+        mq = jnp.where(is_pq, (q - arr.q_sched) / vm, 0.0)
+        dvm = bbd_presolved_solve(f_q, mq)
+        vm = vm + jnp.where(is_pq, dvm, 0.0)
+        mp, mq, del_p, del_q = mism(vm, va)
+        return vm, va, it + 1, del_p, del_q, mp
+
+    vm, va, it, del_p, del_q, mp = jax.lax.while_loop(
+        cond, body, (vm, va, jnp.int64(0), del_p, del_q, mp))
+    return vm, va, it, del_p, del_q, (del_p < tol) & (del_q < tol)
+
+
+def power_flow_fnr_bbd(analysis: AcPowerFlow, iteration: int = 30,
+                       tolerance: float = 1e-8):
+    f_p, f_q = analysis._bbd_factors
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    vm, va, it, del_p, del_q, conv = _fnr_bbd_solve(
+        analysis.arrays, f_p, f_q, vm, va, tolerance, iteration)
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    analysis.method.iteration = int(it)
+    analysis.method.converged = bool(conv)
+    analysis.method.max_mismatch_active = float(del_p)
+    analysis.method.max_mismatch_reactive = float(del_q)
+    return analysis

@@ -36,3 +36,28 @@ def test_bbd_nr_synthetic_grid():
     assert bbd.method.converged
     np.testing.assert_allclose(bbd.voltage.magnitude,
                                dense.voltage.magnitude, atol=1e-9)
+
+
+def test_fnr_bbd_matches_plain(data_path):
+    from juliagrid_tpu.powerflow.fast_decoupled import (
+        fast_newton_raphson_bbd, fast_newton_raphson_bx,
+        power_flow_fnr_bbd)
+    system = jg.power_system(str(data_path / "case30test.m"))
+    plain = fast_newton_raphson_bx(system)
+    power_flow(plain, iteration=40)
+
+    bbd = fast_newton_raphson_bbd(system, bx=True, n_blocks=3)
+    power_flow_fnr_bbd(bbd, iteration=40)
+    assert bbd.method.converged
+    assert bbd.method.iteration == plain.method.iteration
+    np.testing.assert_allclose(bbd.voltage.magnitude,
+                               plain.voltage.magnitude, atol=1e-9)
+
+
+def test_fnr_bbd_synthetic():
+    from juliagrid_tpu.powerflow.fast_decoupled import (
+        fast_newton_raphson_bbd, power_flow_fnr_bbd)
+    system = synthetic_grid(20, 20)
+    bbd = fast_newton_raphson_bbd(system, bx=True, n_blocks=4)
+    power_flow_fnr_bbd(bbd, iteration=60)
+    assert bbd.method.converged
