@@ -81,11 +81,19 @@ def _deactivate(monitoring, kind: str, device_idx: int):
     raise ValueError(kind)
 
 
-def residual_test(analysis, threshold: float = 3.0) -> ResidualTest:
-    """Reference residualTest! — dispatches on the analysis type."""
+def residual_test(analysis, threshold: float = 3.0,
+                  sparse: bool | None = None) -> ResidualTest:
+    """Reference residualTest! — dispatches on the analysis type.
+
+    ``sparse`` selects the Takahashi selected-inverse path for the
+    residual-covariance diagonal (auto above ~1500 state variables,
+    matching the reference's sparse-factor reuse at scale)."""
+    import scipy.sparse as sp
+
     from .acse import AcStateEstimation, residuals
     from .dcse import DcStateEstimation
     from .pmuse import PmuStateEstimation
+    from .takahashi import projection_diag_sparse
 
     bad = ResidualTest()
     monitoring = analysis.monitoring
@@ -96,7 +104,12 @@ def residual_test(analysis, threshold: float = 3.0) -> ResidualTest:
         w = analysis.method.precision_diag
         r = analysis.method.residual * np.asarray(analysis.arrays.status)
         slack = int(np.asarray(analysis.arrays.slack))
-        c = np.asarray(_projection_diag(h, w, mask_cols=[slack]))
+        use_sparse = sparse if sparse is not None else h.shape[1] > 1500
+        if use_sparse:
+            c = projection_diag_sparse(sp.csr_matrix(h), w,
+                                       mask_cols=[slack])
+        else:
+            c = np.asarray(_projection_diag(h, w, mask_cols=[slack]))
         idx, rn = _find_worst(r, w, c)
         bad.index = idx
         bad.max_normalized_residual = rn

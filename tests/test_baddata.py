@@ -80,3 +80,32 @@ def test_ac_outlier_detection(data_path):
     np.testing.assert_allclose(se2.voltage.magnitude, pf.voltage.magnitude,
                                atol=1e-7)
     assert not chi_test(se2).detect
+
+
+def test_residual_test_sparse_path_matches(data_path):
+    """The Takahashi selected-inverse path gives the same identification
+    as the dense projection."""
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf)
+    ac_power(pf)
+    ac_current(pf)
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_wattmeter(monitoring, analysis=pf)
+    add_varmeter(monitoring, analysis=pf)
+    bad_label = monitoring.wattmeter.label.label(8)
+    update_wattmeter(monitoring, bad_label, active=4.0)
+
+    se = gauss_newton(monitoring)
+    state_estimation(se)
+    dense = residual_test(se, threshold=3.0, sparse=False)
+    # restore status flipped by the dense identification
+    monitoring.wattmeter.active.status[8] = 1
+    monitoring.changed()
+    se2 = gauss_newton(monitoring)
+    state_estimation(se2)
+    sparse = residual_test(se2, threshold=3.0, sparse=True)
+    assert dense.label == sparse.label == bad_label
+    assert abs(dense.max_normalized_residual
+               - sparse.max_normalized_residual) < 1e-6
