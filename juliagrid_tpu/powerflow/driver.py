@@ -51,6 +51,32 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
     method = analysis.method
     method.iteration = 0
 
+    if verbose >= 2:
+        # reference-style per-iteration log (print/solver.jl): run the
+        # stepwise host loop so each mismatch can be reported
+        from .ac import mismatch as _mismatch_step
+        from .ac import solve as _solve_step
+        print_title(method.name, verbose)
+        converged = False
+        for _ in range(iteration + 1):
+            del_p, del_q = _mismatch_step(analysis)
+            print_iteration(method.iteration, del_p, del_q, verbose)
+            if del_p < tolerance and del_q < tolerance:
+                converged = True
+                break
+            if method.iteration == iteration:
+                break
+            _solve_step(analysis)
+        method.converged = converged
+        print_exit(converged, method.iteration, verbose)
+        if power:
+            from ..postprocessing.ac import power as ac_power
+            ac_power(analysis)
+        if current:
+            from ..postprocessing.ac import current as ac_current
+            ac_current(analysis)
+        return analysis
+
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)
 

@@ -66,3 +66,16 @@ def test_measurement_residual_column(data_path):
     buf = io.StringIO()
     out = jg.print_wattmeter_data(monitoring, analysis=se, file=buf)
     assert "Residual" in out
+
+
+def test_verbose_iteration_log(data_path, capsys):
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = newton_raphson(system)
+    power_flow(analysis, verbose=2)
+    out = capsys.readouterr().out
+    assert "iteration 0" in out
+    assert "EXIT: The solution was found" in out
+    assert analysis.method.converged
+    from .utils import h5group
+    golden = h5group(data_path / "results.h5", "case14test/newtonRaphson")
+    assert analysis.method.iteration == int(golden["iteration"][0])
