@@ -588,6 +588,17 @@ def gauss_newton(monitoring, factorization: str = linalg.LU
     system.check_slack()
     model(system, "ac")
     n = system.bus.number
+    if factorization == linalg.QR:
+        pmu = monitoring.pmu
+        npmu = pmu.number
+        corr = pmu.layout.correlated.array[:npmu].astype(bool)
+        polar = pmu.layout.polar.array[:npmu].astype(bool)
+        if np.any(corr & ~polar):
+            # reference acStateEstimation.jl:47-49: the 2x2 off-diagonal
+            # precision blocks cannot ride the W^1/2 H orthogonal path
+            raise ValueError(
+                "A non-diagonal precision matrix prevents the use of the "
+                "select method.")
     arr, types, row_device = compile_se_arrays(system, monitoring)
     net = compile_ac_arrays(system)
     rev = system.model.revision

@@ -246,6 +246,15 @@ class AcPowerFlow:
             elif self.method.name == "gauss_seidel":
                 from .gauss_seidel import compile_gs_arrays
                 self.arrays = compile_gs_arrays(self.system)
+            elif self.method.name == "newton_raphson_bbd":
+                from .newton_bbd import compile_nr_bbd
+                self.arrays, self._bbd_layout = compile_nr_bbd(
+                    self.system, self._bbd_n_blocks)
+            elif self.method.name.startswith("fast_newton_raphson_bbd"):
+                from .fast_decoupled import compile_fnr_bbd
+                self.arrays, self._bbd_factors = compile_fnr_bbd(
+                    self.system, self.method.name.endswith("bx"),
+                    self._bbd_n_blocks)
             else:
                 self.arrays = compile_ac_arrays(self.system)
             sig["ac_model"] = rev.ac_model

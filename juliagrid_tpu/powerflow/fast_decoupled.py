@@ -258,24 +258,30 @@ def fnr_solve_step(analysis: AcPowerFlow):
 # Fast decoupled on the BBD substrate (constant factors amortize perfectly)
 # ---------------------------------------------------------------------------
 
+def compile_fnr_bbd(system: PowerSystem, bx: bool, n_blocks: int):
+    """Device snapshot + precomputed BBD factors for the fast-decoupled
+    BBD path; shared by construction and the signature-refresh protocol."""
+    from ..ops.bbd import (bbd_partition, bbd_precompute, build_bbd_arrays)
+    from ..system.model import model as _model
+
+    _model(system, "ac")
+    base = compile_ac_arrays(system)
+    bp, bq = _fnr_matrices(system, bx)
+    # partition on the stored pattern (incl. structural zeros) so the
+    # B'/B'' entries — whose pattern is a subset of it — never cross blocks
+    block_of, border = bbd_partition(system.model.ac.nodal, n_blocks)
+    f_p = bbd_precompute(build_bbd_arrays(bp, block_of, border))
+    f_q = bbd_precompute(build_bbd_arrays(bq, block_of, border))
+    return base, (f_p, f_q)
+
+
 def fast_newton_raphson_bbd(system: PowerSystem, bx: bool = True,
                             n_blocks: int = 4) -> AcPowerFlow:
     """Fast-decoupled PF with B'/B'' factorized once in BBD form —
     the large-network variant of fast_newton_raphson_bx/xb."""
-    from ..ops.bbd import (bbd_partition, bbd_precompute, build_bbd_arrays)
-    from ..system.model import model as _model
-
     system.check_slack()
-    _model(system, "ac")
     magnitude, angle = initialize_ac_power_flow(system)
-    base = compile_ac_arrays(system)
-    bp, bq = _fnr_matrices(system, bx)
-
-    adjacency = system.model.ac.nodal.copy()
-    adjacency.eliminate_zeros()
-    block_of, border = bbd_partition(adjacency, n_blocks)
-    f_p = bbd_precompute(build_bbd_arrays(bp, block_of, border))
-    f_q = bbd_precompute(build_bbd_arrays(bq, block_of, border))
+    base, factors = compile_fnr_bbd(system, bx, n_blocks)
 
     rev = system.model.revision
     name = "fast_newton_raphson_bbd_bx" if bx \
@@ -289,7 +295,8 @@ def fast_newton_raphson_bbd(system: PowerSystem, bx: bool = True,
                    "type": rev.type, "injection": rev.injection,
                    "slack": rev.slack},
     )
-    analysis._bbd_factors = (f_p, f_q)
+    analysis._bbd_factors = factors
+    analysis._bbd_n_blocks = n_blocks
     return analysis
 
 
@@ -331,6 +338,7 @@ def _fnr_bbd_solve(arr, f_p, f_q, vm, va, tol, max_iter):
 
 def power_flow_fnr_bbd(analysis: AcPowerFlow, iteration: int = 30,
                        tolerance: float = 1e-8):
+    analysis._refresh_arrays()
     f_p, f_q = analysis._bbd_factors
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)

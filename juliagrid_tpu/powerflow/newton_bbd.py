@@ -89,9 +89,11 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
     base = compile_ac_arrays(system)
     n = system.bus.number
     model(system, "ac")
-    adjacency = system.model.ac.nodal.copy()
-    adjacency.eliminate_zeros()
-    block_of, border = bbd_partition(adjacency, n_blocks)
+    # Partition on the STORED pattern (including the structural zeros that
+    # ac_model keeps for out-of-service branches) so every routed entry is
+    # guaranteed same-block or border — an eliminate_zeros() copy would let
+    # an off branch span two interiors and break the routing invariant.
+    block_of, border = bbd_partition(system.model.ac.nodal, n_blocks)
     k = n_blocks
     groups = [np.flatnonzero(block_of == b) for b in range(k)]
     ni = max(len(g) for g in groups)
@@ -120,6 +122,8 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
                     int(bus_slot[bus] + (ni if mag else 0)))
         return (-1, int(bus_slot[bus] + (mb if mag else 0)))
 
+    yg_host = np.asarray(base.yg)
+    yb_host = np.asarray(base.yb)
     for e in range(nnz):
         i, j = int(rows[e]), int(cols[e])
         for quad, (mi, mj) in enumerate(
@@ -129,7 +133,14 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
             bj_, cj = var_idx(j, mj)
             sel = quad * nnz + e
             if bi_ >= 0 and bj_ >= 0:
-                assert bi_ == bj_, "cross-block interior coupling"
+                if bi_ != bj_:
+                    # only structurally-zero entries (off branches kept in
+                    # the pattern) may cross interiors; their H/N/J/L values
+                    # are identically 0, so dropping them is exact
+                    if i != j and yg_host[e] == 0.0 and yb_host[e] == 0.0:
+                        continue
+                    raise RuntimeError(
+                        "BBD routing: nonzero entry couples two interiors")
                 fam_lists[0].append((sel, bi_, ri, cj))
             elif bi_ >= 0:
                 fam_lists[1].append((sel, bi_, ri, cj))
@@ -326,12 +337,14 @@ def newton_raphson_bbd(system: PowerSystem, n_blocks: int = 4) -> AcPowerFlow:
                    "slack": rev.slack},
     )
     analysis._bbd_layout = layout
+    analysis._bbd_n_blocks = n_blocks
     return analysis
 
 
 def power_flow_bbd(analysis: AcPowerFlow, iteration: int = 20,
                    tolerance: float = 1e-8):
     """Driver for the BBD NR analysis."""
+    analysis._refresh_arrays()
     layout = analysis._bbd_layout
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)

@@ -75,7 +75,8 @@ def load_power_system(system: PowerSystem, path: str) -> None:
                 fh["bus/voltage/maxMagnitude"], n))
         types = bus.layout.type.array[:n]
         slack = np.flatnonzero(types == 3)
-        bus.layout.slack = int(slack[-1]) if len(slack) else 0
+        # reference load.jl:155-160 keeps the FIRST type-3 bus as slack
+        bus.layout.slack = int(slack[0]) if len(slack) else 0
         bus.supply.active = Vec("float64", np.zeros(n))
         bus.supply.reactive = Vec("float64", np.zeros(n))
 

@@ -152,3 +152,16 @@ def test_damped_gn_converges_on_hard_polar_set(solved14):
                                atol=1e-7)
     np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle,
                                atol=1e-7)
+
+
+def test_orthogonal_rejects_correlated_pmus(solved14):
+    """ADVICE r1 / reference acStateEstimation.jl:47-49: rectangular
+    correlated PMUs carry 2x2 off-diagonal precision blocks the QR path
+    cannot represent — constructing it must raise."""
+    from juliagrid_tpu.ops import linalg
+    system, pf = solved14
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=pf)
+    add_pmu(monitoring, analysis=pf, correlated=True)
+    with pytest.raises(ValueError, match="non-diagonal precision"):
+        gauss_newton(monitoring, factorization=linalg.QR)

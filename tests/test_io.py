@@ -158,3 +158,24 @@ Q
     analysis = newton_raphson(system)
     power_flow(analysis)
     assert analysis.method.converged
+
+
+def test_h5_multiple_slack_picks_first(data_path, tmp_path):
+    """ADVICE r1 / reference load.jl:155-160: with several type-3 buses in
+    a file, the FIRST one becomes the slack."""
+    import h5py
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    out = tmp_path / "multislack.h5"
+    save_power_system(system, str(out))
+    with h5py.File(out, "r+") as fh:
+        types = fh["bus/layout/type"][...]
+        types = np.full(system.bus.number, types, dtype=types.dtype) \
+            if types.shape == () else types
+        types[2] = 3
+        types[7] = 3
+        del fh["bus/layout/type"]
+        fh["bus/layout/type"] = types
+    loaded = jg.power_system(str(out))
+    assert loaded.bus.layout.slack == min(
+        np.flatnonzero(loaded.bus.layout.type.array[:loaded.bus.number] == 3))
