@@ -370,29 +370,73 @@ def compile_se_arrays(system: PowerSystem, monitoring):
 # Jacobian/residual evaluation (pure)
 # --------------------------------------------------------------------------
 
-def build_h(arr: SeArrays, net: AcArrays, vm, va):
-    """Dense measurement Jacobian H (m x 2n) and model values h(x)."""
-    n = vm.shape[0]
-    m = arr.mean.shape[0]
-    H = jnp.zeros((m, 2 * n), dtype=vm.dtype)
-    h = jnp.zeros(m, dtype=vm.dtype)
+def h_entry_pattern(arr: SeArrays, net: AcArrays, n: int, xp=np):
+    """(rows, cols) of every H entry, in the exact order ``h_entries``
+    emits values. Cols index the 2n state vector (θ then V). Call with
+    ``xp=np`` at compile time (the routing key for the BBD gain path) or
+    ``xp=jnp`` under trace (the dense scatter pattern)."""
+    a = xp.asarray
+    rows, cols = [], []
 
-    # voltage magnitude rows (1, 12)
-    H = H.at[arr.vm_rows, n + arr.vm_bus].add(1.0)
+    def add(r, c):
+        rows.append(a(r).astype(xp.int64))
+        cols.append(a(c).astype(xp.int64))
+
+    add(arr.vm_rows, n + a(arr.vm_bus))
+    add(arr.va_rows, a(arr.va_bus))
+    add(arr.rev_rows, a(arr.rev_bus))
+    add(arr.rev_rows, n + a(arr.rev_bus))
+    add(arr.imv_rows, a(arr.imv_bus))
+    add(arr.imv_rows, n + a(arr.imv_bus))
+    for grp in arr.branch:
+        if grp.rows.shape[0] == 0:
+            continue
+        add(grp.rows, a(grp.f))
+        add(grp.rows, a(grp.t))
+        add(grp.rows, n + a(grp.f))
+        add(grp.rows, n + a(grp.t))
+    net_cols = a(net.cols)
+    if arr.p_rows.shape[0]:
+        ke = a(arr.p_ent_k)
+        add(arr.p_ent_meas, net_cols[ke])
+        add(arr.p_ent_meas, n + net_cols[ke])
+        add(arr.p_rows, a(arr.p_bus))
+        add(arr.p_rows, n + a(arr.p_bus))
+    if arr.q_rows.shape[0]:
+        ke = a(arr.q_ent_k)
+        add(arr.q_ent_meas, net_cols[ke])
+        add(arr.q_ent_meas, n + net_cols[ke])
+        add(arr.q_rows, a(arr.q_bus))
+        add(arr.q_rows, n + a(arr.q_bus))
+    return xp.concatenate(rows), xp.concatenate(cols)
+
+
+def h_entries(arr: SeArrays, net: AcArrays, vm, va):
+    """Per-entry H values (pattern order = ``h_entry_pattern``) + h(x).
+
+    The measurement Jacobian in entry-IR form: callers scatter the values
+    into whatever blocked layout their solver needs (dense H, or the
+    routed BBD gain blocks)."""
+    n = vm.shape[0]
+    h = jnp.zeros(arr.mean.shape[0], dtype=vm.dtype)
+    vals = []
+
+    one_vm = jnp.ones(arr.vm_rows.shape[0], dtype=vm.dtype)
+    vals.append(one_vm)
     h = h.at[arr.vm_rows].add(vm[arr.vm_bus])
-    # voltage angle rows (13)
-    H = H.at[arr.va_rows, arr.va_bus].add(1.0)
+    one_va = jnp.ones(arr.va_rows.shape[0], dtype=vm.dtype)
+    vals.append(one_va)
     h = h.at[arr.va_rows].add(va[arr.va_bus])
-    # rectangular bus phasors (16, 17)
+
     cb = jnp.cos(va[arr.rev_bus])
     sb = jnp.sin(va[arr.rev_bus])
-    H = H.at[arr.rev_rows, arr.rev_bus].add(-vm[arr.rev_bus] * sb)
-    H = H.at[arr.rev_rows, n + arr.rev_bus].add(cb)
+    vals.append(-vm[arr.rev_bus] * sb)
+    vals.append(cb)
     h = h.at[arr.rev_rows].add(vm[arr.rev_bus] * cb)
     ci = jnp.cos(va[arr.imv_bus])
     si = jnp.sin(va[arr.imv_bus])
-    H = H.at[arr.imv_rows, arr.imv_bus].add(vm[arr.imv_bus] * ci)
-    H = H.at[arr.imv_rows, n + arr.imv_bus].add(si)
+    vals.append(vm[arr.imv_bus] * ci)
+    vals.append(si)
     h = h.at[arr.imv_rows].add(vm[arr.imv_bus] * si)
 
     # branch groups
@@ -411,10 +455,7 @@ def build_h(arr: SeArrays, net: AcArrays, vm, va):
         co = eq.PiCoeff(grp.a, grp.b, grp.c, grp.d)
         hv, dti, dtj, dvi, dvj = eval_fn(co, vi, vj, ti, tj)
         h = h.at[grp.rows].add(hv)
-        H = H.at[grp.rows, grp.f].add(dti)
-        H = H.at[grp.rows, grp.t].add(dtj)
-        H = H.at[grp.rows, n + grp.f].add(dvi)
-        H = H.at[grp.rows, n + grp.t].add(dvj)
+        vals.extend([dti, dtj, dvi, dvj])
 
     # injections (6, 9)
     if arr.p_rows.shape[0] or arr.q_rows.shape[0]:
@@ -439,26 +480,33 @@ def build_h(arr: SeArrays, net: AcArrays, vm, va):
         if arr.p_rows.shape[0]:
             h = h.at[arr.p_rows].add(p_bus_all[arr.p_bus])
             ke = arr.p_ent_k
-            H = H.at[arr.p_ent_meas, net.cols[ke]].add(dp_dtj[ke])
-            H = H.at[arr.p_ent_meas, n + net.cols[ke]].add(dp_dvj[ke])
             pb = arr.p_bus
-            H = H.at[arr.p_rows, pb].add(
-                -q_bus_all[pb] - bii[pb] * vm[pb] ** 2)
-            H = H.at[arr.p_rows, n + pb].add(
-                p_bus_all[pb] / vm[pb] + gii[pb] * vm[pb])
+            vals.append(dp_dtj[ke])
+            vals.append(dp_dvj[ke])
+            vals.append(-q_bus_all[pb] - bii[pb] * vm[pb] ** 2)
+            vals.append(p_bus_all[pb] / vm[pb] + gii[pb] * vm[pb])
         if arr.q_rows.shape[0]:
             h = h.at[arr.q_rows].add(q_bus_all[arr.q_bus])
             ke = arr.q_ent_k
-            H = H.at[arr.q_ent_meas, net.cols[ke]].add(dq_dtj[ke])
-            H = H.at[arr.q_ent_meas, n + net.cols[ke]].add(dq_dvj[ke])
             qb = arr.q_bus
-            H = H.at[arr.q_rows, qb].add(
-                p_bus_all[qb] - gii[qb] * vm[qb] ** 2)
-            H = H.at[arr.q_rows, n + qb].add(
-                q_bus_all[qb] / vm[qb] - bii[qb] * vm[qb])
+            vals.append(dq_dtj[ke])
+            vals.append(dq_dvj[ke])
+            vals.append(p_bus_all[qb] - gii[qb] * vm[qb] ** 2)
+            vals.append(q_bus_all[qb] / vm[qb] - bii[qb] * vm[qb])
 
+    return jnp.concatenate(vals), h * arr.status
+
+
+def build_h(arr: SeArrays, net: AcArrays, vm, va):
+    """Dense measurement Jacobian H (m x 2n) and model values h(x):
+    one scatter-add of the entry-IR values."""
+    n = vm.shape[0]
+    m = arr.mean.shape[0]
+    vals, h = h_entries(arr, net, vm, va)
+    ent_rows, ent_cols = h_entry_pattern(arr, net, n, xp=jnp)
+    H = jnp.zeros((m, 2 * n), dtype=vm.dtype)
+    H = H.at[ent_rows, ent_cols].add(vals)
     H = H * arr.status[:, None]
-    h = h * arr.status
     return H, h
 
 

@@ -1,0 +1,355 @@
+"""Gauss-Newton WLS state estimation on the BBD/Schur substrate.
+
+The dense SE path (acse.py) scatters the measurement Jacobian into one
+(m x 2n) matrix and forms gain = HᵀWH with a single MXU matmul — fine to
+~3k buses, impossible at ACTIVSg/SyntheticUSA scale. Here the gain matrix
+never materializes globally:
+
+  1. buses are partitioned on the SQUARED nodal pattern (the gain graph:
+     an injection row couples buses two hops apart) with
+     ops/partition.nd_partition, so every measurement row's variables live
+     in one interior block ∪ border;
+  2. measurement rows are assigned to the block of their interior
+     variables (border-only rows round-robin); the H entry-IR
+     (acse.h_entries) is routed at compile time into per-block row-local
+     matrices H_int (k, mr, 2ni) and H_bdr (k, mr, 2lb), where the border
+     columns are COMPRESSED to each block's local border (a block touches
+     O(sqrt ni) of the global border, so the strips stay small at 10k+);
+  3. each iteration the gain blocks are batched MXU matmuls
+     G_ii = H_intᵀ W H_int, G_ib = H_intᵀ W H_bdr,
+     S_kk = H_bdrᵀ W H_bdr, followed by vmapped mixed-precision interior
+     factorizations and a Schur-complement border solve whose matrix is
+     scatter-assembled from the per-block local contributions —
+     O(k·ni³ + mb³) instead of O((2n)³). The interior work shards over a
+     ``block`` mesh axis for multi-chip single-case estimation.
+
+Reference parity anchor: the KLU/CHOLMOD normal-equations substrate of
+acStateEstimation.jl:878-931 + backend/utility.jl:470-562, re-designed for
+block-parallel dense factorization instead of serial sparse elimination.
+
+Correlated rectangular PMU pairs are not supported on this path (use the
+dense Normal path); they raise, mirroring the reference's guard on the
+orthogonal method (acStateEstimation.jl:47-49).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..ops import linalg
+from ..ops.partition import nd_partition
+from ..powerflow.ac import Polar, compile_ac_arrays
+from ..system.model import model
+from ..system.types import PowerSystem
+from .acse import (AcStateEstimation, SeMethod, compile_se_arrays,
+                   h_entries, h_entry_pattern)
+
+
+class SeBbdArrays(NamedTuple):
+    base: tuple          # SeArrays
+    net: tuple           # AcArrays
+    ent_rows: jax.Array  # i32[E] measurement row per H entry
+    # entry routing into per-block H matrices
+    hi_sel: jax.Array    # entries landing in H_int
+    hi_blk: jax.Array
+    hi_row: jax.Array
+    hi_col: jax.Array
+    hb_sel: jax.Array    # entries landing in H_bdr (local border cols)
+    hb_blk: jax.Array
+    hb_row: jax.Array
+    hb_col: jax.Array
+    # row routing
+    rows_idx: jax.Array   # i32[k, mr] measurement row per slot (pad 0)
+    row_mask: jax.Array   # f64[k, mr]
+    # local border -> global border slot map (pad -> 2mb sentinel)
+    lb_gidx: jax.Array    # i32[k, 2lb]
+    # variable routing / masks
+    bus_block: jax.Array  # i32[n] (-1 border)
+    bus_slot: jax.Array   # i32[n]
+    mask_int: jax.Array   # f64[k, 2ni]
+    mask_bdr: jax.Array   # f64[2mb]
+
+
+@dataclass
+class _SeBbdLayout:
+    k: int
+    ni: int
+    mb: int
+    mr: int
+    lb: int
+
+
+def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
+    arr, types, row_device = compile_se_arrays(system, monitoring)
+    net = compile_ac_arrays(system)
+    if np.asarray(arr.pair_r1).shape[0]:
+        raise ValueError(
+            "A non-diagonal precision matrix prevents the use of the "
+            "BBD method; use the dense Normal path.")
+    n = system.bus.number
+    model(system, "ac")
+
+    nodal = system.model.ac.nodal.tocsr()
+    pat = sp.csr_matrix((np.ones(nodal.nnz), nodal.indices, nodal.indptr),
+                        shape=nodal.shape)
+    gain_pat = (pat @ pat).tocsr()
+    block_of, border = nd_partition(gain_pat, n_blocks)
+    k = n_blocks
+    groups = [np.flatnonzero(block_of == b) for b in range(k)]
+    ni = max(max(len(g) for g in groups), 1)
+    mb = max(len(border), 1)
+
+    bus_block = block_of.astype(np.int64)
+    bus_slot = np.zeros(n, dtype=np.int64)
+    for g in groups:
+        bus_slot[g] = np.arange(len(g))
+    bus_slot[border] = np.arange(len(border))
+
+    ent_rows, ent_cols = h_entry_pattern(arr, net, n, xp=np)
+    m = int(np.asarray(arr.mean).shape[0])
+
+    # row -> block: the block of any interior variable it touches (the
+    # squared-pattern partition guarantees uniqueness); border-only rows
+    # round-robin for load balance
+    ent_bus = ent_cols % n
+    row_block = np.full(m, -1, dtype=np.int64)
+    for e in range(len(ent_rows)):
+        b = bus_block[ent_bus[e]]
+        if b < 0:
+            continue
+        r = ent_rows[e]
+        if row_block[r] < 0:
+            row_block[r] = b
+        elif row_block[r] != b:
+            raise RuntimeError(
+                "SE BBD routing: row touches two interiors "
+                f"(row {r}: blocks {row_block[r]} and {b})")
+    rr = 0
+    for r in np.flatnonzero(row_block < 0):
+        row_block[r] = rr % k
+        rr += 1
+
+    rows_of = [np.flatnonzero(row_block == b) for b in range(k)]
+    mr = max(max(len(rws) for rws in rows_of), 1)
+    rows_idx = np.zeros((k, mr), dtype=np.int64)
+    row_mask = np.zeros((k, mr))
+    row_slot = np.zeros(m, dtype=np.int64)
+    for b, rws in enumerate(rows_of):
+        rows_idx[b, :len(rws)] = rws
+        row_mask[b, :len(rws)] = 1.0
+        row_slot[rws] = np.arange(len(rws))
+
+    # entry routing; border columns compressed to each block's local border
+    is_mag = ent_cols >= n
+    blk_e = row_block[ent_rows]
+    lrow_e = row_slot[ent_rows]
+    col_interior = bus_block[ent_bus] >= 0
+
+    sel = np.arange(len(ent_rows))
+    hi = col_interior
+    hb = ~col_interior
+
+    lcol_int = bus_slot[ent_bus] + np.where(is_mag, ni, 0)
+
+    # local border lists per block (global border slots touched)
+    local_lists = []
+    for b in range(k):
+        touched = np.unique(bus_slot[ent_bus[hb & (blk_e == b)]])
+        local_lists.append(touched)
+    lb = max(max((len(t) for t in local_lists), default=0), 1)
+    lb_gidx = np.full((k, 2 * lb), 2 * mb, dtype=np.int64)  # pad sentinel
+    local_of = {}  # (block, global border slot) -> local slot
+    for b, touched in enumerate(local_lists):
+        for s, gslot in enumerate(touched):
+            local_of[(b, int(gslot))] = s
+            lb_gidx[b, s] = gslot
+            lb_gidx[b, lb + s] = mb + gslot
+    lcol_bdr = np.zeros(len(ent_rows), dtype=np.int64)
+    for e in np.flatnonzero(hb):
+        s = local_of[(int(blk_e[e]), int(bus_slot[ent_bus[e]]))]
+        lcol_bdr[e] = s + (lb if is_mag[e] else 0)
+
+    # masks: real slots active; slack angle pinned
+    slack = int(np.asarray(arr.slack))
+    mask_int = np.zeros((k, 2 * ni))
+    for b, g in enumerate(groups):
+        mask_int[b, :len(g)] = 1.0
+        mask_int[b, ni:ni + len(g)] = 1.0
+    mask_bdr = np.zeros(2 * mb)
+    mask_bdr[:len(border)] = 1.0
+    mask_bdr[mb:mb + len(border)] = 1.0
+    if bus_block[slack] >= 0:
+        mask_int[bus_block[slack], bus_slot[slack]] = 0.0
+    else:
+        mask_bdr[bus_slot[slack]] = 0.0
+
+    i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)  # noqa: E731
+    sb = SeBbdArrays(
+        base=arr, net=net, ent_rows=i32(ent_rows),
+        hi_sel=i32(sel[hi]), hi_blk=i32(blk_e[hi]),
+        hi_row=i32(lrow_e[hi]), hi_col=i32(lcol_int[hi]),
+        hb_sel=i32(sel[hb]), hb_blk=i32(blk_e[hb]),
+        hb_row=i32(lrow_e[hb]), hb_col=i32(lcol_bdr[hb]),
+        rows_idx=i32(rows_idx), row_mask=jnp.asarray(row_mask),
+        lb_gidx=i32(lb_gidx),
+        bus_block=i32(bus_block), bus_slot=i32(bus_slot),
+        mask_int=jnp.asarray(mask_int), mask_bdr=jnp.asarray(mask_bdr))
+    layout = _SeBbdLayout(k=k, ni=ni, mb=mb, mr=mr, lb=lb)
+    return sb, layout, types, row_device
+
+
+def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
+    arr = sb.base
+    k, ni, mb, lb = layout.k, layout.ni, layout.mb, layout.lb
+    mr = layout.mr
+    n = vm.shape[0]
+
+    vals, h = h_entries(arr, sb.net, vm, va)
+    vals = vals * arr.status[sb.ent_rows]
+    r = arr.mean - h
+
+    h_int = jnp.zeros((k, mr, 2 * ni), dtype=vm.dtype)
+    h_int = h_int.at[sb.hi_blk, sb.hi_row, sb.hi_col].add(vals[sb.hi_sel])
+    h_bdr = jnp.zeros((k, mr, 2 * lb), dtype=vm.dtype)
+    h_bdr = h_bdr.at[sb.hb_blk, sb.hb_row, sb.hb_col].add(vals[sb.hb_sel])
+    h_int = h_int * sb.mask_int[:, None, :]
+    # local border slack/pad masking: gather the global border mask
+    mask_lb = jnp.concatenate(
+        [sb.mask_bdr, jnp.zeros(1, dtype=vm.dtype)])[sb.lb_gidx]  # (k, 2lb)
+    h_bdr = h_bdr * mask_lb[:, None, :]
+
+    w_blk = arr.w[sb.rows_idx] * sb.row_mask
+    r_blk = r[sb.rows_idx] * sb.row_mask
+    whi = w_blk[..., None] * h_int
+    whb = w_blk[..., None] * h_bdr
+
+    g_ii = jnp.einsum("krc,krd->kcd", h_int, whi) \
+        + jax.vmap(jnp.diag)(1.0 - sb.mask_int)
+    g_ib = jnp.einsum("krc,krd->kcd", h_int, whb)       # (k, 2ni, 2lb)
+    s_kk = jnp.einsum("krc,krd->kcd", h_bdr, whb)       # (k, 2lb, 2lb)
+    rhs_i = jnp.einsum("krc,kr->kc", h_int, w_blk * r_blk)
+    rhs_bk = jnp.einsum("krc,kr->kc", h_bdr, w_blk * r_blk)  # (k, 2lb)
+
+    lu, piv = jax.vmap(linalg.lu_factor32)(g_ii)
+    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, g_ii, rhs_i)
+    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, g_ii, g_ib)
+
+    # Schur matrix scatter-assembled from local contributions (the pad
+    # sentinel row/col 2mb is sliced away)
+    s_contrib = s_kk - jnp.einsum("kcm,kcd->kmd", g_ib, z)  # (k, 2lb, 2lb)
+    rhs_contrib = rhs_bk - jnp.einsum("kcm,kc->km", g_ib, y)
+    schur = jnp.zeros((2 * mb + 1, 2 * mb + 1), dtype=vm.dtype)
+    schur = schur.at[sb.lb_gidx[:, :, None],
+                     sb.lb_gidx[:, None, :]].add(s_contrib)
+    schur = schur[:2 * mb, :2 * mb] + jnp.diag(1.0 - sb.mask_bdr)
+    rhs_s = jnp.zeros(2 * mb + 1, dtype=vm.dtype)
+    rhs_s = rhs_s.at[sb.lb_gidx].add(rhs_contrib)[:2 * mb]
+    x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_s)
+    x_b_loc = jnp.concatenate(
+        [x_b, jnp.zeros(1, dtype=vm.dtype)])[sb.lb_gidx]  # (k, 2lb)
+    x_i = y - jnp.einsum("kcm,km->kc", z, x_b_loc)
+
+    interior = sb.bus_block >= 0
+    blk_safe = jnp.where(interior, sb.bus_block, 0)
+    d_ang = jnp.where(interior, x_i[blk_safe, sb.bus_slot],
+                      x_b[sb.bus_slot])
+    d_mag = jnp.where(interior, x_i[blk_safe, ni + sb.bus_slot],
+                      x_b[mb + sb.bus_slot])
+    dx = jnp.concatenate([d_ang, d_mag])
+    return dx, jnp.max(jnp.abs(dx))
+
+
+@partial(jax.jit, static_argnames=("k", "ni", "mb", "mr", "lb", "max_iter"))
+def _se_bbd_solve(sb: SeBbdArrays, k, ni, mb, mr, lb, vm, va, tol,
+                  max_iter):
+    layout = _SeBbdLayout(k=k, ni=ni, mb=mb, mr=mr, lb=lb)
+    n = vm.shape[0]
+    dx, maxinc = _gn_increment_bbd(sb, layout, vm, va)
+
+    def cond(carry):
+        vm, va, dx, maxinc, it = carry
+        return (maxinc >= tol) & (it < max_iter)
+
+    def body(carry):
+        vm, va, dx, _, it = carry
+        va = va + dx[:n]
+        vm = vm + dx[n:]
+        dx, maxinc = _gn_increment_bbd(sb, layout, vm, va)
+        return vm, va, dx, maxinc, it + 1
+
+    vm, va, dx, maxinc, it = jax.lax.while_loop(
+        cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
+    return vm, va, it, maxinc, maxinc < tol
+
+
+def gauss_newton_bbd(monitoring, n_blocks: int = 8) -> AcStateEstimation:
+    """Gauss-Newton WLS with the BBD/Schur gain substrate (scale path)."""
+    system = monitoring.system
+    system.check_slack()
+    model(system, "ac")
+    n = system.bus.number
+    sb, layout, types, row_device = compile_se_bbd(system, monitoring,
+                                                   n_blocks)
+    rev = system.model.revision
+    method = SeMethod("gauss_newton_bbd")
+    method.type = types
+    method.row_device = row_device
+    analysis = AcStateEstimation(
+        system=system,
+        monitoring=monitoring,
+        voltage=Polar(system.bus.voltage.magnitude.array[:n].copy(),
+                      system.bus.voltage.angle.array[:n].copy()),
+        method=method,
+        arrays=sb.base,
+        net=sb.net,
+        signature={"ac_model": rev.ac_model,
+                   "measurement": monitoring.revision.measurement,
+                   "slack": rev.slack},
+    )
+    analysis._bbd = sb
+    analysis._bbd_layout = layout
+    analysis._bbd_n_blocks = n_blocks
+    return analysis
+
+
+def se_bbd_refresh(analysis: AcStateEstimation):
+    """Signature-protocol staleness refresh for the BBD SE snapshot."""
+    rev = analysis.system.model.revision
+    mrev = analysis.monitoring.revision.measurement
+    sig = analysis.signature
+    if (sig.get("ac_model") != rev.ac_model
+            or sig.get("measurement") != mrev
+            or sig.get("slack") != rev.slack):
+        sb, layout, types, row_device = compile_se_bbd(
+            analysis.system, analysis.monitoring, analysis._bbd_n_blocks)
+        analysis._bbd = sb
+        analysis._bbd_layout = layout
+        analysis.arrays = sb.base
+        analysis.net = sb.net
+        analysis.method.type = types
+        analysis.method.row_device = row_device
+        sig.update(ac_model=rev.ac_model, measurement=mrev, slack=rev.slack)
+
+
+def se_bbd_solve(analysis: AcStateEstimation, iteration: int = 40,
+                 tolerance: float = 1e-8):
+    se_bbd_refresh(analysis)
+    lay = analysis._bbd_layout
+    vm = jnp.asarray(analysis.voltage.magnitude)
+    va = jnp.asarray(analysis.voltage.angle)
+    vm, va, it, maxinc, converged = _se_bbd_solve(
+        analysis._bbd, lay.k, lay.ni, lay.mb, lay.mr, lay.lb, vm, va,
+        tolerance, iteration)
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    analysis.method.iteration = int(it)
+    analysis.method.converged = bool(converged)
+    analysis.method.max_increment = float(maxinc)
+    return analysis

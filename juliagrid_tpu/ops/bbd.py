@@ -100,14 +100,22 @@ class BbdArrays(NamedTuple):
     border_idx: jax.Array    # (m,)
 
 
-def build_bbd_arrays(a_dense: np.ndarray, block_of: np.ndarray,
+def build_bbd_arrays(a, block_of: np.ndarray,
                      border: np.ndarray) -> BbdArrays:
-    """Compile the BBD snapshot from a dense (host) matrix."""
-    n = a_dense.shape[0]
+    """Compile the BBD snapshot from a host matrix — scipy sparse (the
+    scale path: block extraction is O(nnz), no dense n x n intermediate)
+    or dense ndarray (small cases/tests)."""
+    n = a.shape[0]
     k = int(block_of.max()) + 1
     m = len(border)
     groups = [np.flatnonzero(block_of == b) for b in range(k)]
     ni = max(len(g) for g in groups)
+
+    if sp.issparse(a):
+        a_csr = a.tocsr()
+        sub = lambda r, c: a_csr[r][:, c].toarray()  # noqa: E731
+    else:
+        sub = lambda r, c: np.asarray(a)[np.ix_(r, c)]  # noqa: E731
 
     a_ii = np.zeros((k, ni, ni))
     a_ib = np.zeros((k, ni, m))
@@ -116,13 +124,13 @@ def build_bbd_arrays(a_dense: np.ndarray, block_of: np.ndarray,
     mask = np.zeros((k, ni))
     for b, g in enumerate(groups):
         s = len(g)
-        a_ii[b, :s, :s] = a_dense[np.ix_(g, g)]
+        a_ii[b, :s, :s] = sub(g, g)
         a_ii[b, s:, s:] = np.eye(ni - s)
-        a_ib[b, :s, :] = a_dense[np.ix_(g, border)]
-        a_bi[b, :, :s] = a_dense[np.ix_(border, g)]
+        a_ib[b, :s, :] = sub(g, border)
+        a_bi[b, :, :s] = sub(border, g)
         idx[b, :s] = g
         mask[b, :s] = 1.0
-    a_bb = a_dense[np.ix_(border, border)]
+    a_bb = sub(border, border)
     return BbdArrays(
         a_ii=jnp.asarray(a_ii), a_ib=jnp.asarray(a_ib),
         a_bi=jnp.asarray(a_bi), a_bb=jnp.asarray(a_bb),

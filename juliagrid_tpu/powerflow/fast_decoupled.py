@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
+import scipy.sparse as sp
 
 from ..ops import linalg
 from ..system.model import model
@@ -258,18 +259,74 @@ def fnr_solve_step(analysis: AcPowerFlow):
 # Fast decoupled on the BBD substrate (constant factors amortize perfectly)
 # ---------------------------------------------------------------------------
 
+def _fnr_matrices_sparse(system: PowerSystem, bx: bool):
+    """Sparse-CSR B'/B'' (same coefficients as ``_fnr_matrices``) for the
+    BBD scale path: no dense n x n host intermediate."""
+    n = system.bus.number
+    m = system.branch.number
+    prm = system.branch.parameter
+    f = system.branch.layout.from_bus.array[:m]
+    t = system.branch.layout.to_bus.array[:m]
+    on = system.branch.layout.status.array[:m] == 1
+
+    r = prm.resistance.array[:m]
+    x = prm.reactance.array[:m]
+    bsi = 0.5 * prm.susceptance.array[:m]
+    tau_inv = 1.0 / prm.turns_ratio.array[:m]
+    phi = prm.shift_angle.array[:m]
+    sin_p, cos_p = np.sin(phi), np.cos(phi)
+
+    y = np.where(on, 1.0 / (r + 1j * x), 0.0)
+    if bx:
+        bmk = np.where(on, -1.0 / x, 0.0)
+        p_a, p_b = y.real, y.imag
+    else:
+        bmk = y.imag
+        p_a = np.zeros(m)
+        p_b = np.where(on, -1.0 / x, 0.0)
+
+    denom = cos_p**2 + sin_p**2
+    pij = np.where(on, (-p_a * sin_p - p_b * cos_p) / denom, 0.0)
+    pji = np.where(on, (p_a * sin_p - p_b * cos_p) / denom, 0.0)
+    pii = np.where(on, p_b / denom, 0.0)
+    pjj = np.where(on, p_b, 0.0)
+    q_a = np.where(on, -bmk * tau_inv, 0.0)
+    q_b = np.where(on, (bmk + bsi) * tau_inv**2, 0.0)
+    q_c = np.where(on, bmk + bsi, 0.0)
+
+    rows = np.concatenate([f, t, f, t])
+    cols = np.concatenate([t, f, f, t])
+    bp = sp.coo_matrix((np.concatenate([pij, pji, pii, pjj]),
+                        (rows, cols)), shape=(n, n)).tocsr()
+    bq = sp.coo_matrix((np.concatenate([q_a, q_a, q_b, q_c]),
+                        (rows, cols)), shape=(n, n)).tocsr()
+    bq = bq + sp.diags(system.bus.shunt.susceptance.array[:n])
+
+    types = system.bus.layout.type.array[:n]
+    slack = system.bus.layout.slack
+    m_p = (np.arange(n) != slack).astype(np.float64)
+    m_q = (types == 1).astype(np.float64)
+    bp = sp.diags(m_p) @ bp @ sp.diags(m_p) + sp.diags(1.0 - m_p)
+    bq = sp.diags(m_q) @ bq @ sp.diags(m_q) + sp.diags(1.0 - m_q)
+    return bp.tocsr(), bq.tocsr()
+
+
 def compile_fnr_bbd(system: PowerSystem, bx: bool, n_blocks: int):
     """Device snapshot + precomputed BBD factors for the fast-decoupled
     BBD path; shared by construction and the signature-refresh protocol."""
-    from ..ops.bbd import (bbd_partition, bbd_precompute, build_bbd_arrays)
+    from ..ops.bbd import bbd_precompute, build_bbd_arrays
+    from ..ops.partition import nd_partition
     from ..system.model import model as _model
 
     _model(system, "ac")
     base = compile_ac_arrays(system)
-    bp, bq = _fnr_matrices(system, bx)
+    bp, bq = _fnr_matrices_sparse(system, bx)
     # partition on the stored pattern (incl. structural zeros) so the
     # B'/B'' entries — whose pattern is a subset of it — never cross blocks
-    block_of, border = bbd_partition(system.model.ac.nodal, n_blocks)
+    nodal = system.model.ac.nodal.tocsr()
+    pattern = sp.csr_matrix(
+        (np.ones(nodal.nnz), nodal.indices, nodal.indptr), shape=nodal.shape)
+    block_of, border = nd_partition(pattern, n_blocks)
     f_p = bbd_precompute(build_bbd_arrays(bp, block_of, border))
     f_q = bbd_precompute(build_bbd_arrays(bq, block_of, border))
     return base, (f_p, f_q)

@@ -31,9 +31,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as scipy_sp
 
 from ..ops import linalg
-from ..ops.bbd import bbd_partition
+from ..ops.partition import nd_partition
 from ..system.model import model
 from ..system.types import PowerSystem
 from .ac import (AcPowerFlow, MethodState, Polar, _injections, _mismatch,
@@ -93,7 +94,10 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
     # ac_model keeps for out-of-service branches) so every routed entry is
     # guaranteed same-block or border — an eliminate_zeros() copy would let
     # an off branch span two interiors and break the routing invariant.
-    block_of, border = bbd_partition(system.model.ac.nodal, n_blocks)
+    nodal = system.model.ac.nodal.tocsr()
+    pattern = scipy_sp.csr_matrix(
+        (np.ones(nodal.nnz), nodal.indices, nodal.indptr), shape=nodal.shape)
+    block_of, border = nd_partition(pattern, n_blocks)
     k = n_blocks
     groups = [np.flatnonzero(block_of == b) for b in range(k)]
     ni = max(len(g) for g in groups)

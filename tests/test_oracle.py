@@ -44,3 +44,46 @@ def test_oracle_dc_matches_matpower(case, data_path):
     golden = h5group(str(data_path / "results.h5"), f"{case}/dcPowerFlow")
     res = oracle_dc(system)
     np.testing.assert_allclose(res.angle, golden["voltage"], atol=1e-12)
+
+
+def _scada_pmu_set(system, noise=False):
+    """SCADA+PMU measurement set from a solved power flow (deterministic)."""
+    from juliagrid_tpu.measurement.devices import (add_pmu, add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.powerflow.ac import newton_raphson
+    from juliagrid_tpu.powerflow.driver import power_flow
+
+    pf = newton_raphson(system)
+    power_flow(pf, power=True)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=noise)
+    add_wattmeter(mon, analysis=pf, noise=noise)
+    add_varmeter(mon, analysis=pf, noise=noise)
+    for b in range(0, system.bus.number, 10):
+        add_pmu(mon, bus=system.bus.label.label(b),
+                magnitude=float(pf.voltage.magnitude[b]),
+                angle=float(pf.voltage.angle[b]), polar=True, noise=noise)
+    return mon
+
+
+@pytest.mark.parametrize("case", ["case14test.m", "case118.m",
+                                  "case1354pegase.h5"])
+def test_oracle_wls_se_cross_check(case, data_path):
+    """Framework GN WLS vs the independent sparse oracle: iteration parity
+    and state agreement — a genuine two-implementation cross-check on the
+    SCADA+PMU set (extends SE validation to BASELINE config-3 scale)."""
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.oracle import oracle_wls_se
+
+    system = jg.power_system(str(data_path / case))
+    mon = _scada_pmu_set(system)
+    se = gauss_newton(mon)
+    state_estimation(se)
+    res = oracle_wls_se(system, mon)
+    assert se.method.converged and res.converged
+    assert se.method.iteration == res.iterations
+    np.testing.assert_allclose(se.voltage.magnitude, res.magnitude,
+                               atol=1e-10)
+    np.testing.assert_allclose(se.voltage.angle, res.angle, atol=1e-10)
