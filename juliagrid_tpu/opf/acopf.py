@@ -62,20 +62,6 @@ class AcOptimalPowerFlow:
             self.signature = {"key": key}
 
 
-def _poly_cost(poly):
-    """Full polynomial evaluation (quad part + monomial tails)."""
-    coeffs = np.asarray(poly, dtype=float)
-
-    def f(p):
-        val = 0.0
-        deg = len(coeffs) - 1
-        for k, c in enumerate(coeffs):
-            val = val + c * p ** (deg - k)
-        return val
-
-    return f
-
-
 class _AcSpec:
     def __init__(self, system: PowerSystem):
         model(system, "ac")
@@ -100,7 +86,7 @@ class _AcSpec:
         self.gen_on = gen.layout.status.array[:g] == 1
 
         # ---- objective ---------------------------------------------------
-        self.cost_terms = []       # (kind 'p'|'q', gen idx, callable)
+        self.poly_terms = []       # (kind 'p'|'q', gen idx, coeff array)
         self.pw_cuts_p = []        # (gen, helper pos, slope, intercept)
         self.pw_cuts_q = []
         self.pw_gens_p = []
@@ -115,18 +101,17 @@ class _AcSpec:
                     continue
                 cmodel = int(cost.model[i]) if i < len(cost.model) else 0
                 if cmodel == 2 and i in cost.polynomial:
-                    self.cost_terms.append(
-                        (kind, i, _poly_cost(cost.polynomial[i])))
+                    self.poly_terms.append(
+                        (kind, i,
+                         np.asarray(cost.polynomial[i], dtype=float)))
                 elif cmodel == 1 and i in cost.piecewise:
                     pts = np.asarray(cost.piecewise[i])
                     if len(pts) == 2:
                         slope = ((pts[1, 1] - pts[0, 1])
                                  / (pts[1, 0] - pts[0, 0]))
                         icept = pts[0, 1] - pts[0, 0] * slope
-                        self.cost_terms.append(
-                            (kind, i,
-                             (lambda s, c: lambda p: s * p + c)(
-                                 slope, icept)))
+                        self.poly_terms.append(
+                            (kind, i, np.asarray([slope, icept])))
                     elif len(pts) > 2:
                         hpos = len(pw_gens)
                         pw_gens.append(i)
@@ -176,6 +161,7 @@ class _AcSpec:
 
         # capability-curve cuts (reference capabilityCurve, :570-627)
         self.curve_cuts = []
+        self.curve_tags = []
         for i in range(g):
             if not self.gen_on[i]:
                 continue
@@ -202,7 +188,7 @@ class _AcSpec:
                 b = dq * low + dp * cap.max_low_reactive[i]
                 scale = 1.0 / np.sqrt(dq**2 + dp**2)
                 self.curve_cuts.append((i, scale * dq, scale * dp, scale * b))
-                self.ineq_tags.append(("capability_upper", i))
+                self.curve_tags.append((i, "capability_upper"))
 
             diff_q = cap.min_up_reactive[i] - cap.min_low_reactive[i]
             min_q_min_p = cap.min_low_reactive[i] + min_low_p * diff_q \
@@ -216,7 +202,7 @@ class _AcSpec:
                 b = dq * low + dp * cap.min_low_reactive[i]
                 scale = 1.0 / np.sqrt(dq**2 + dp**2)
                 self.curve_cuts.append((i, scale * dq, scale * dp, scale * b))
-                self.ineq_tags.append(("capability_lower", i))
+                self.curve_tags.append((i, "capability_lower"))
 
         # flow constraints (from/to, type dispatch)
         m = system.branch.number
@@ -274,6 +260,89 @@ class _AcSpec:
         self.br_ytf = ac.nodal_to_from
         self.br_ytt = ac.nodal_to_to
 
+        # ---- vectorized constraint arrays (traced fns must be loop-free:
+        # a per-element Python ineq() at pegase scale produces a ~10k-op
+        # XLA graph whose compile blows up) -------------------------------
+        def _pairs(lst):
+            idx = np.asarray([i for i, _ in lst], dtype=np.int64)
+            val = np.asarray([b for _, b in lst], dtype=np.float64)
+            return idx, val
+
+        self.vlo_i, self.vlo_b = _pairs(self.v_lo)
+        self.vhi_i, self.vhi_b = _pairs(self.v_hi)
+        self.plo_i, self.plo_b = _pairs(self.p_lo)
+        self.phi_i, self.phi_b = _pairs(self.p_hi)
+        self.qlo_i, self.qlo_b = _pairs(self.q_lo)
+        self.qhi_i, self.qhi_b = _pairs(self.q_hi)
+        cc = self.curve_cuts
+        self.cc_i = np.asarray([c[0] for c in cc], dtype=np.int64)
+        self.cc_aq = np.asarray([c[1] for c in cc])
+        self.cc_ap = np.asarray([c[2] for c in cc])
+        self.cc_b = np.asarray([c[3] for c in cc])
+
+        fl = self.flows
+        self.fl_k = np.asarray([f[0] for f in fl], dtype=np.int64)
+        self.fl_from = np.asarray([f[1] == "from" for f in fl])
+        self.fl_fb = np.asarray([f[3] for f in fl], dtype=np.int64)
+        self.fl_tb = np.asarray([f[4] for f in fl], dtype=np.int64)
+        self.fl_cls = np.asarray([f[2] for f in fl], dtype=np.int64)
+        fl_lo = np.asarray([f[5] for f in fl], dtype=np.float64)
+        fl_hi = np.asarray([f[6] for f in fl], dtype=np.float64)
+        self.fl_has_lo = np.asarray(
+            [np.isfinite(f[5]) and not (f[2] != 1 and f[5] == 0.0)
+             for f in fl])
+        self.fl_has_hi = np.isfinite(fl_hi)
+        self.fl_lo = np.where(self.fl_has_lo, fl_lo, 0.0)
+        self.fl_hi = np.where(self.fl_has_hi, fl_hi, 0.0)
+
+        an = self.angles
+        self.an_f = np.asarray([a[0] for a in an], dtype=np.int64)
+        self.an_t = np.asarray([a[1] for a in an], dtype=np.int64)
+        self.an_lo = np.asarray([a[2] for a in an])
+        self.an_hi = np.asarray([a[3] for a in an])
+
+        def _cuts(cuts):
+            gi = np.asarray([c[0] for c in cuts], dtype=np.int64)
+            hpos = np.asarray([c[1] for c in cuts], dtype=np.int64)
+            slope = np.asarray([c[2] for c in cuts])
+            icept = np.asarray([c[3] for c in cuts])
+            return gi, hpos, slope, icept
+
+        self.pwp = _cuts(self.pw_cuts_p)
+        self.pwq = _cuts(self.pw_cuts_q)
+
+        # polynomial objective grouped by (kind, degree) for vector polyval
+        self.poly_groups = {}
+        for kind, i, coeffs in self.poly_terms:
+            key = (kind, len(coeffs) - 1)
+            self.poly_groups.setdefault(key, ([], []))
+            self.poly_groups[key][0].append(i)
+            self.poly_groups[key][1].append(coeffs)
+        self.poly_groups = {
+            key: (np.asarray(idx, dtype=np.int64), np.asarray(co))
+            for key, (idx, co) in self.poly_groups.items()}
+
+        # rebuild the tag list in the grouped emit order of ineq()
+        tags = []
+        tags += [("voltage_min", int(i)) for i in self.vlo_i]
+        tags += [("voltage_max", int(i)) for i in self.vhi_i]
+        tags += [("active_min", int(i)) for i in self.plo_i]
+        tags += [("active_max", int(i)) for i in self.phi_i]
+        tags += [("reactive_min", int(i)) for i in self.qlo_i]
+        tags += [("reactive_max", int(i)) for i in self.qhi_i]
+        tags += [(t, int(i)) for (i, t) in self.curve_tags]
+        for k, f, has in zip(self.fl_k, self.fl_from, self.fl_has_lo):
+            if has:
+                tags.append((f"flow_{'from' if f else 'to'}_min", int(k)))
+        for k, f, has in zip(self.fl_k, self.fl_from, self.fl_has_hi):
+            if has:
+                tags.append((f"flow_{'from' if f else 'to'}_max", int(k)))
+        tags += [("angle_min", a[4]) for a in an]
+        tags += [("angle_max", a[4]) for a in an]
+        tags += [("piecewise_active", int(gi)) for gi in self.pwp[0]]
+        tags += [("piecewise_reactive", int(gi)) for gi in self.pwq[0]]
+        self.ineq_tags = tags
+
     # ---- state layout ----------------------------------------------------
 
     def split(self, x):
@@ -300,8 +369,12 @@ class _AcSpec:
     def objective(self, x):
         theta, v, pg, qg, hp, hq = self.split(x)
         val = self.obj_const
-        for kind, i, fcn in self.cost_terms:
-            val = val + fcn(pg[i] if kind == "p" else qg[i])
+        for (kind, deg), (idx, co) in self.poly_groups.items():
+            p = pg[idx] if kind == "p" else qg[idx]
+            acc = jnp.zeros_like(p)
+            for j in range(deg + 1):  # Horner over the shared degree
+                acc = acc * p + co[:, j]
+            val = val + jnp.sum(acc)
         if self.n_hp:
             val = val + jnp.sum(hp)
         if self.n_hq:
@@ -325,62 +398,57 @@ class _AcSpec:
             out.append(qg[off_idx])
         return jnp.concatenate(out)
 
-    def _branch_pq(self, theta, v, k, fb, tb, side):
-        """Complex branch flow S = P + jQ at the given end."""
+    def _flow_values(self, theta, v):
+        """Vectorized flow-constraint values over all constrained rows."""
+        fb, tb = self.fl_fb, self.fl_tb
         vf = v[fb] * jnp.exp(1j * theta[fb])
         vt = v[tb] * jnp.exp(1j * theta[tb])
-        if side == "from":
-            i_ = vf * self.br_yff[k] + vt * self.br_yft[k]
-            s = vf * jnp.conj(i_)
-        else:
-            i_ = vf * self.br_ytf[k] + vt * self.br_ytt[k]
-            s = vt * jnp.conj(i_)
-        return jnp.real(s), jnp.imag(s), i_
+        yff = jnp.asarray(self.br_yff)[self.fl_k]
+        yft = jnp.asarray(self.br_yft)[self.fl_k]
+        ytf = jnp.asarray(self.br_ytf)[self.fl_k]
+        ytt = jnp.asarray(self.br_ytt)[self.fl_k]
+        is_from = jnp.asarray(self.fl_from)
+        i_ = jnp.where(is_from, vf * yff + vt * yft, vf * ytf + vt * ytt)
+        s = jnp.where(is_from, vf, vt) * jnp.conj(i_)
+        p, q = jnp.real(s), jnp.imag(s)
+        s2 = p * p + q * q
+        i2 = jnp.real(i_) ** 2 + jnp.imag(i_) ** 2
+        cls = self.fl_cls
+        # guard sqrt(0) rows (types 2/4): value is exact, gradient clamps
+        sqrt_s = jnp.sqrt(jnp.maximum(s2, 1e-24))
+        sqrt_i = jnp.sqrt(jnp.maximum(i2, 1e-24))
+        val = jnp.select(
+            [cls == 1, cls == 2, cls == 3, cls == 4],
+            [p, sqrt_s, s2, sqrt_i], i2)
+        return val
 
     def ineq(self, x):
         theta, v, pg, qg, hp, hq = self.split(x)
-        out = []
-        for i, lo in self.v_lo:
-            out.append(v[i] - lo)
-        for i, hi in self.v_hi:
-            out.append(hi - v[i])
-        for i, lo in self.p_lo:
-            out.append(pg[i] - lo)
-        for i, hi in self.p_hi:
-            out.append(hi - pg[i])
-        for i, lo in self.q_lo:
-            out.append(qg[i] - lo)
-        for i, hi in self.q_hi:
-            out.append(hi - qg[i])
-        for (i, aq, ap, b) in self.curve_cuts:
-            out.append(b - aq * pg[i] - ap * qg[i])
-        for (k, side, ftype, fb, tb, lo, hi) in self.flows:
-            p, q, i_ = self._branch_pq(theta, v, k, fb, tb, side)
-            if ftype == 1:
-                val = p
-            elif ftype in (2, 3):
-                val = p**2 + q**2
-                if ftype == 2:
-                    val = jnp.sqrt(val)
-            else:
-                val = jnp.real(i_) ** 2 + jnp.imag(i_) ** 2
-                if ftype == 4:
-                    val = jnp.sqrt(val)
-            if np.isfinite(lo) and not (ftype != 1 and lo == 0.0):
-                out.append(val - lo)
-            if np.isfinite(hi):
-                out.append(hi - val)
-        for (fb, tb, lo, hi, _k) in self.angles:
-            diff = theta[fb] - theta[tb]
-            out.append(diff - lo)
-            out.append(hi - diff)
-        for (gi, hpos, slope, icept) in self.pw_cuts_p:
-            out.append(icept - slope * pg[gi] + hp[hpos])
-        for (gi, hpos, slope, icept) in self.pw_cuts_q:
-            out.append(icept - slope * qg[gi] + hq[hpos])
+        out = [v[self.vlo_i] - self.vlo_b,
+               self.vhi_b - v[self.vhi_i],
+               pg[self.plo_i] - self.plo_b,
+               self.phi_b - pg[self.phi_i],
+               qg[self.qlo_i] - self.qlo_b,
+               self.qhi_b - qg[self.qhi_i],
+               self.cc_b - self.cc_aq * pg[self.cc_i]
+               - self.cc_ap * qg[self.cc_i]]
+        if len(self.fl_k):
+            val = self._flow_values(theta, v)
+            out.append((val - self.fl_lo)[self.fl_has_lo])
+            out.append((self.fl_hi - val)[self.fl_has_hi])
+        if len(self.an_f):
+            diff = theta[self.an_f] - theta[self.an_t]
+            out.append(diff - self.an_lo)
+            out.append(self.an_hi - diff)
+        for cuts, h, pq in ((self.pwp, hp, pg), (self.pwq, hq, qg)):
+            gi, hpos, slope, icept = cuts
+            if len(gi):
+                out.append(icept - slope * pq[gi] + h[hpos])
+        out = [jnp.asarray(o) for o in out]
+        out = [o for o in out if o.shape[0]]
         if not out:
             return None
-        return jnp.stack([jnp.asarray(o) for o in out])
+        return jnp.concatenate(out)
 
 
 def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
