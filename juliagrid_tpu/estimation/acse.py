@@ -711,18 +711,58 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
 
     analysis._refresh_arrays()
     analysis.method.iteration = 0
-    vm = jnp.asarray(analysis.voltage.magnitude)
-    va = jnp.asarray(analysis.voltage.angle)
     kind = linalg.QR if analysis.method.factorization == linalg.QR \
         else linalg.LU
-    solver = _se_solve_damped if damping else _se_solve
-    vm, va, it, maxinc, converged = solver(
-        analysis.arrays, analysis.net, vm, va, tolerance, iteration, kind)
-    analysis.voltage.magnitude = np.asarray(vm)
-    analysis.voltage.angle = np.asarray(va)
-    analysis.method.iteration = int(it)
-    analysis.method.converged = bool(converged)
-    analysis.method.max_increment = float(maxinc)
+    verbose = 0 if verbose is None else verbose
+
+    if verbose >= 2:
+        # reference print/solver.jl verbose tables: stepwise host loop
+        from ..report.solver import (print_middle_se, print_residuals_se,
+                                     print_solver_se, print_top_se)
+        print_top_se(analysis.monitoring, verbose)
+        residuals(analysis)
+        print_middle_se(analysis.system, analysis, verbose)
+        converged = False
+        for _ in range(iteration + 1):
+            maxinc = increment(analysis)
+            vmj = jnp.asarray(analysis.voltage.magnitude)
+            vaj = jnp.asarray(analysis.voltage.angle)
+            obj = float(_wls_objective(analysis.arrays, analysis.net,
+                                       vmj, vaj))
+            print_solver_se(analysis.method.iteration, obj, maxinc, verbose)
+            if maxinc < tolerance:
+                converged = True
+                break
+            if analysis.method.iteration == iteration:
+                break
+            solve(analysis)
+        residuals(analysis)
+        print_residuals_se(analysis.method.residual,
+                           analysis.method.precision_diag, verbose)
+        analysis.method.converged = converged
+        analysis.method.objective = float(_wls_objective(
+            analysis.arrays, analysis.net,
+            jnp.asarray(analysis.voltage.magnitude),
+            jnp.asarray(analysis.voltage.angle)))
+        from ..report.solver import print_exit
+        print_exit("gauss_newton", converged, not converged,
+                   analysis.method.iteration, verbose)
+    else:
+        vm = jnp.asarray(analysis.voltage.magnitude)
+        va = jnp.asarray(analysis.voltage.angle)
+        solver = _se_solve_damped if damping else _se_solve
+        vm, va, it, maxinc, converged = solver(
+            analysis.arrays, analysis.net, vm, va, tolerance, iteration,
+            kind)
+        analysis.voltage.magnitude = np.asarray(vm)
+        analysis.voltage.angle = np.asarray(va)
+        analysis.method.iteration = int(it)
+        analysis.method.converged = bool(converged)
+        analysis.method.max_increment = float(maxinc)
+        if verbose:
+            from ..report.solver import print_exit
+            print_exit("gauss_newton", bool(converged), not bool(converged),
+                       int(it), verbose)
 
     if power:
         from ..postprocessing.ac import power as ac_power

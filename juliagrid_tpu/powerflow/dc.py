@@ -104,8 +104,16 @@ def dc_power_flow(system: PowerSystem,
 
 def dc_solve(analysis: DcPowerFlow, verbose: int | None = None):
     """Reference solve! for DC power flow."""
+    verbose = 0 if verbose is None else verbose
+    if verbose:
+        from ..report.solver import (print_exit, print_middle_pf,
+                                     print_top)
+        print_top(analysis.system, analysis, verbose)
+        print_middle_pf(analysis.system, analysis, verbose)
     analysis._refresh_arrays()
     theta = _dc_solve(analysis.arrays, analysis.method.factorization)
     analysis.voltage.angle = np.asarray(theta)
     analysis.method.converged = True
+    if verbose:
+        print_exit("dc_power_flow", True, False, 0, verbose)
     return analysis

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
-from ..report.solver import print_exit, print_iteration, print_title
+from ..report.solver import (print_exit, print_increments_pf,
+                             print_middle_pf, print_solver_pf, print_top)
 from .ac import AcPowerFlow, _nr_solve
 
 
@@ -52,23 +53,34 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
     method.iteration = 0
 
     if verbose >= 2:
-        # reference-style per-iteration log (print/solver.jl): run the
-        # stepwise host loop so each mismatch can be reported
+        # reference-style statistics + per-iteration log (print/solver.jl):
+        # run the stepwise host loop so each mismatch can be reported
         from .ac import mismatch as _mismatch_step
         from .ac import solve as _solve_step
-        print_title(method.name, verbose)
+        print_top(analysis.system, analysis, verbose)
+        print_middle_pf(analysis.system, analysis, verbose)
         converged = False
+        dmag = dang = None
         for _ in range(iteration + 1):
             del_p, del_q = _mismatch_step(analysis)
-            print_iteration(method.iteration, del_p, del_q, verbose)
+            print_solver_pf(method.iteration, del_p, del_q, verbose)
             if del_p < tolerance and del_q < tolerance:
                 converged = True
                 break
             if method.iteration == iteration:
                 break
+            vm_prev = np.asarray(analysis.voltage.magnitude).copy()
+            va_prev = np.asarray(analysis.voltage.angle).copy()
             _solve_step(analysis)
+            dmag = np.abs(np.asarray(analysis.voltage.magnitude) - vm_prev)
+            dang = np.abs(np.asarray(analysis.voltage.angle) - va_prev)
+        if dmag is not None and method.name != "gauss_seidel":
+            print_increments_pf((float(dmag.min()), float(dmag.max())),
+                                (float(dang.min()), float(dang.max())),
+                                verbose)
         method.converged = converged
-        print_exit(converged, method.iteration, verbose)
+        print_exit(method.name, converged, not converged,
+                   method.iteration, verbose)
         if power:
             from ..postprocessing.ac import power as ac_power
             ac_power(analysis)
@@ -104,9 +116,8 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
     method.max_mismatch_reactive = float(del_q)
 
     if verbose:
-        print_title(method.name, verbose)
-        print_iteration(method.iteration, float(del_p), float(del_q), verbose)
-        print_exit(method.converged, method.iteration, verbose)
+        print_exit(method.name, method.converged, not method.converged,
+                   method.iteration, verbose)
 
     if power:
         from ..postprocessing.ac import power as ac_power

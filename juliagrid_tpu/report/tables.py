@@ -113,6 +113,20 @@ def print_bus_data(analysis, file=None, label=None):
     if analysis.power is not None:
         p = analysis.power
         p_scale = _power_scale(system)
+        if len(getattr(getattr(p, "supply", object()), "active", [])):
+            tbl.add_column("Power Generation Active",
+                           [p.supply.active[i] * p_scale for i in idxs],
+                           units.active_power)
+            if len(getattr(p.supply, "reactive", [])):
+                tbl.add_column("Power Generation Reactive",
+                               [p.supply.reactive[i] * p_scale
+                                for i in idxs], units.reactive_power)
+        tbl.add_column("Power Demand Active",
+                       [system.bus.demand.active[i] * p_scale
+                        for i in idxs], units.active_power)
+        tbl.add_column("Power Demand Reactive",
+                       [system.bus.demand.reactive[i] * p_scale
+                        for i in idxs], units.reactive_power)
         tbl.add_column("Power Injection Active",
                        [p.injection.active[i] * p_scale for i in idxs],
                        units.active_power)
@@ -128,6 +142,17 @@ def print_bus_data(analysis, file=None, label=None):
             tbl.add_column("Shunt Power Reactive",
                            [p.shunt.reactive[i] * p_scale for i in idxs],
                            units.reactive_power)
+    if getattr(analysis, "current", None) is not None and len(
+            getattr(getattr(analysis.current, "injection", object()),
+                    "magnitude", [])):
+        c = analysis.current
+        a_scale = _angle_scale()
+        tbl.add_column("Current Injection Magnitude",
+                       [c.injection.magnitude[i] for i in idxs],
+                       units.current_magnitude)
+        tbl.add_column("Current Injection Angle",
+                       [c.injection.angle[i] * a_scale for i in idxs],
+                       units.current_angle)
     return tbl.render(file)
 
 
@@ -165,10 +190,37 @@ def print_branch_data(analysis, file=None, label=None):
             tbl.add_column("Series Loss Active",
                            [p.series.active[i] * p_scale for i in idxs],
                            units.active_power)
+            tbl.add_column("Series Loss Reactive",
+                           [p.series.reactive[i] * p_scale for i in idxs],
+                           units.reactive_power)
         if len(getattr(getattr(p, "charging", object()), "reactive", [])):
             tbl.add_column("Charging Reactive",
                            [p.charging.reactive[i] * p_scale for i in idxs],
                            units.reactive_power)
+    if getattr(analysis, "current", None) is not None and len(
+            getattr(getattr(analysis.current, "from_", object()),
+                    "magnitude", [])):
+        c = analysis.current
+        a_scale = _angle_scale()
+        tbl.add_column("From-Bus Current Magnitude",
+                       [c.from_.magnitude[i] for i in idxs],
+                       units.current_magnitude)
+        tbl.add_column("From-Bus Current Angle",
+                       [c.from_.angle[i] * a_scale for i in idxs],
+                       units.current_angle)
+        tbl.add_column("To-Bus Current Magnitude",
+                       [c.to.magnitude[i] for i in idxs],
+                       units.current_magnitude)
+        tbl.add_column("To-Bus Current Angle",
+                       [c.to.angle[i] * a_scale for i in idxs],
+                       units.current_angle)
+        if len(getattr(c.series, "magnitude", [])):
+            tbl.add_column("Series Current Magnitude",
+                           [c.series.magnitude[i] for i in idxs],
+                           units.current_magnitude)
+            tbl.add_column("Series Current Angle",
+                           [c.series.angle[i] * a_scale for i in idxs],
+                           units.current_angle)
     return tbl.render(file)
 
 
@@ -201,46 +253,110 @@ def print_bus_summary(analysis, file=None):
     """Reference printBusSummary: min/max/total statistics."""
     vm = np.asarray(getattr(analysis.voltage, "magnitude", []))
     va = np.asarray(analysis.voltage.angle)
-    tbl = Table(title="Bus Summary")
-    rows = ["Minimum", "Maximum", "Mean"]
-    tbl.add_column("Statistic", rows)
-    if vm.size:
-        tbl.add_column("Voltage Magnitude",
-                       [vm.min(), vm.max(), vm.mean()],
-                       units.voltage_magnitude)
+    system = analysis.system
+    labels = system.bus.label
     a_scale = _angle_scale()
-    tbl.add_column("Voltage Angle",
-                   [va.min() * a_scale, va.max() * a_scale,
-                    va.mean() * a_scale], units.voltage_angle)
+    p_scale = _power_scale(system)
+
+    rows = []
+    if vm is not None and vm.size:
+        rows.append(("Voltage Magnitude", units.voltage_magnitude,
+                     vm, 1.0, False))
+    rows.append(("Voltage Angle", units.voltage_angle, va, a_scale, False))
     if analysis.power is not None:
-        pa = np.asarray(analysis.power.injection.active)
-        tbl.add_column("Power Injection Active",
-                       [pa.min(), pa.max(), pa.sum()], units.active_power)
+        p = analysis.power
+        n = system.bus.number
+        for name, unit, arr, tot in (
+                ("Power Generation Active", units.active_power,
+                 getattr(p.supply, "active", []), True),
+                ("Power Generation Reactive", units.reactive_power,
+                 getattr(p.supply, "reactive", []), True),
+                ("Power Demand Active", units.active_power,
+                 system.bus.demand.active.array[:n], True),
+                ("Power Demand Reactive", units.reactive_power,
+                 system.bus.demand.reactive.array[:n], True),
+                ("Power Injection Active", units.active_power,
+                 getattr(p.injection, "active", []), True),
+                ("Power Injection Reactive", units.reactive_power,
+                 getattr(p.injection, "reactive", []), True),
+                ("Shunt Power Active", units.active_power,
+                 getattr(getattr(p, "shunt", object()), "active", []), True),
+                ("Shunt Power Reactive", units.reactive_power,
+                 getattr(getattr(p, "shunt", object()), "reactive", []),
+                 True)):
+            arr = np.asarray(arr)
+            if arr.size:
+                rows.append((name, unit, arr, p_scale, tot))
+    return _summary_table("Bus Summary", rows, labels, file)
+
+
+def _summary_table(title, rows, labels, file):
+    """Reference-style summary: per-quantity min/max with labels + totals
+    (print/powerSystem.jl busSummary/branchSummary/generatorSummary)."""
+    tbl = Table(title=title)
+    tbl.add_column("Quantity", [f"{name} [{unit}]" if unit else name
+                                for name, unit, *_ in rows])
+    tbl.add_column("Minimum Label",
+                   [str(labels.label(int(np.argmin(a)))) for
+                    _, _, a, _, _ in rows])
+    tbl.add_column("Minimum", [float(a.min()) * s
+                               for _, _, a, s, _ in rows])
+    tbl.add_column("Maximum Label",
+                   [str(labels.label(int(np.argmax(a)))) for
+                    _, _, a, _, _ in rows])
+    tbl.add_column("Maximum", [float(a.max()) * s
+                               for _, _, a, s, _ in rows])
+    tbl.add_column("Total", [float(a.sum()) * s if tot else None
+                             for _, _, a, s, tot in rows])
     return tbl.render(file)
 
 
 def print_branch_summary(analysis, file=None):
+    system = analysis.system
     tbl = Table(title="Branch Summary")
     if analysis.power is None:
         return tbl.render(file)
-    pf = np.asarray(analysis.power.from_.active)
-    tbl.add_column("Statistic", ["Minimum", "Maximum", "Total Loss"])
-    loss = np.asarray(getattr(analysis.power, "series",
-                              analysis.power.from_).active)
-    tbl.add_column("From-Bus Power Active", [pf.min(), pf.max(), loss.sum()],
-                   units.active_power)
-    return tbl.render(file)
+    p = analysis.power
+    p_scale = _power_scale(system)
+    rows = []
+    for name, unit, arr, tot in (
+            ("From-Bus Power Active", units.active_power,
+             getattr(p.from_, "active", []), False),
+            ("From-Bus Power Reactive", units.reactive_power,
+             getattr(p.from_, "reactive", []), False),
+            ("To-Bus Power Active", units.active_power,
+             getattr(p.to, "active", []), False),
+            ("To-Bus Power Reactive", units.reactive_power,
+             getattr(p.to, "reactive", []), False),
+            ("Series Loss Active", units.active_power,
+             getattr(getattr(p, "series", object()), "active", []), True),
+            ("Series Loss Reactive", units.reactive_power,
+             getattr(getattr(p, "series", object()), "reactive", []), True),
+            ("Charging Reactive", units.reactive_power,
+             getattr(getattr(p, "charging", object()), "reactive", []),
+             True)):
+        arr = np.asarray(arr)
+        if arr.size:
+            rows.append((name, unit, arr, p_scale, tot))
+    if not rows:
+        return tbl.render(file)
+    return _summary_table("Branch Summary", rows, system.branch.label, file)
 
 
 def print_generator_summary(analysis, file=None):
+    system = analysis.system
     tbl = Table(title="Generator Summary")
     if analysis.power is None or not len(analysis.power.generator.active):
         return tbl.render(file)
-    pg = np.asarray(analysis.power.generator.active)
-    tbl.add_column("Statistic", ["Minimum", "Maximum", "Total"])
-    tbl.add_column("Power Output Active", [pg.min(), pg.max(), pg.sum()],
-                   units.active_power)
-    return tbl.render(file)
+    p_scale = _power_scale(system)
+    rows = [("Power Output Active", units.active_power,
+             np.asarray(analysis.power.generator.active), p_scale, True)]
+    qg = np.asarray(getattr(analysis.power.generator, "reactive", []))
+    if qg.size:
+        rows.append(("Power Output Reactive", units.reactive_power, qg,
+                     p_scale, True))
+    return _summary_table("Generator Summary", rows,
+                          system.generator.label, file)
 
 
 def _se_residuals_by_device(analysis, kind):

@@ -73,9 +73,109 @@ def test_verbose_iteration_log(data_path, capsys):
     analysis = newton_raphson(system)
     power_flow(analysis, verbose=2)
     out = capsys.readouterr().out
-    assert "iteration 0" in out
+    assert "Maximum Active Mismatch" in out
     assert "EXIT: The solution was found" in out
     assert analysis.method.converged
     from .utils import h5group
     golden = h5group(data_path / "results.h5", "case14test/newtonRaphson")
     assert analysis.method.iteration == int(golden["iteration"][0])
+
+
+def test_info_trees(data_path, capsys):
+    """print/info.jl equivalents: per-element trees, units, templates."""
+    from juliagrid_tpu.measurement.devices import add_pmu, add_voltmeter
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.report.info import (print_ammeter_unit,
+                                           print_branch_template,
+                                           print_branch_unit,
+                                           print_bus_template,
+                                           print_bus_unit,
+                                           print_generator_template,
+                                           print_generator_unit,
+                                           print_monitoring, print_pmu_unit,
+                                           print_pmu_template, print_system,
+                                           print_varmeter_unit,
+                                           print_voltmeter_template,
+                                           print_wattmeter_unit)
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    print_system(system, bus=system.bus.label.label(0))
+    out = capsys.readouterr().out
+    assert "📁" in out and "Demand Power" in out and "Layout" in out
+    assert "Type: slack" in out
+
+    print_system(system, branch=system.branch.label.label(3))
+    out = capsys.readouterr().out
+    assert "Resistance" in out and "From-Bus" in out
+
+    print_system(system, generator=system.generator.label.label(0))
+    out = capsys.readouterr().out
+    assert "Output Power" in out and "Active Power Cost" in out
+
+    mon = measurement(system)
+    add_voltmeter(mon, bus=system.bus.label.label(0), magnitude=1.05)
+    add_pmu(mon, bus=system.bus.label.label(1), magnitude=1.0, angle=0.0,
+            polar=True)
+    print_monitoring(mon, voltmeter=1)
+    assert "Voltage Magnitude Measurement" in capsys.readouterr().out
+    print_monitoring(mon, pmu=1)
+    out = capsys.readouterr().out
+    assert "Voltage Angle Measurement" in out and "Polar: True" in out
+
+    for fn in (print_bus_unit, print_branch_unit, print_generator_unit,
+               print_wattmeter_unit, print_varmeter_unit, print_ammeter_unit,
+               print_pmu_unit, print_bus_template, print_branch_template,
+               print_generator_template, print_voltmeter_template,
+               print_pmu_template):
+        fn()
+        assert "📁" in capsys.readouterr().out
+
+
+def test_verbose_solver_tables(data_path, capsys):
+    """print/solver.jl equivalents: statistics blocks, iteration tables,
+    increment/residual summaries, EXIT lines."""
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.powerflow.dc import dc_power_flow, dc_solve
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf, verbose=3)
+    out = capsys.readouterr().out
+    assert "Number of buses:" in out
+    assert "Number of entries in the Jacobian:" in out
+    assert "Maximum Active Mismatch" in out
+    assert "Magnitude Increment:" in out
+    assert "EXIT: The solution was found using the Newton-Raphson method" \
+        in out
+
+    dcpf = dc_power_flow(system)
+    dc_solve(dcpf, verbose=2)
+    out = capsys.readouterr().out
+    assert "Number of entries in the nodal matrix:" in out
+    assert "EXIT: The solution of the DC power flow was found." in out
+
+    power_flow(pf, power=True)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=False)
+    add_wattmeter(mon, analysis=pf, noise=False)
+    add_varmeter(mon, analysis=pf, noise=False)
+    se = gauss_newton(mon)
+    state_estimation(se, verbose=3)
+    out = capsys.readouterr().out
+    assert "Number of wattmeters:" in out
+    assert "Objective Value   Maximum Increment" in out
+    assert "Absolute Residual:" in out
+    assert "EXIT: The solution was found using the Gauss-Newton method" \
+        in out
+    assert se.method.converged
+
+    # verbose solve must land on the same state as the compiled solve
+    import numpy as np
+    se2 = gauss_newton(mon)
+    state_estimation(se2)
+    np.testing.assert_allclose(se.voltage.magnitude, se2.voltage.magnitude,
+                               atol=1e-12)
