@@ -1,14 +1,23 @@
-"""Benchmark: batched Newton-Raphson AC power flow throughput on TPU.
+"""Benchmark: BASELINE configs 1-5 on the driver's device (TPU chip).
 
-Prints one JSON line: NR iterations/s across a Monte-Carlo scenario batch
-(load-scaled case30), measured on the default JAX device (the TPU chip
-under the driver; falls back to CPU elsewhere).
+Measures the named BASELINE.json configurations:
 
-``vs_baseline`` compares against a single-threaded scipy sparse-LU
-Newton-Raphson implemented below — the same algorithm/stack shape as the
-reference JuliaGrid hot path (serial CSC Jacobian fill + SuiteSparse
-factorization on CPU; SURVEY §3.1), since the reference publishes no
-wall-clock numbers of its own (BASELINE.md).
+  1. Newton-Raphson AC power flow, IEEE 14, flat start (single case)
+  2. DC power flow + fast-decoupled AC power flow, IEEE 118
+  3. Gauss-Newton WLS SE, SCADA+PMU set, IEEE 118 (batched Monte-Carlo)
+  4. LAV SE + largest-normalized-residual bad-data loop, IEEE 118
+  5. Interior-point AC OPF on case1354pegase + batched Monte-Carlo WLS SE
+     on case1354pegase (the 10k-scenario pod-slice shape, measured on one
+     chip and reported as solves/s)
+
+``vs_baseline`` is the geometric mean of per-config speedups against the
+independent sparse CPU oracle (juliagrid_tpu/oracle/sparse_ref.py): serial
+CSC fill + splu factorization — the reference's stack shape (SURVEY §3.1),
+validated exactly against the MATPOWER goldens (tests/test_oracle.py).
+LAV and AC OPF have no scipy-class oracle (the reference rides Ipopt);
+they are reported as absolute numbers without a ratio.
+
+Prints ONE JSON line.
 """
 
 import json
@@ -18,186 +27,419 @@ import time
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-CASE = os.path.join(HERE, "tests", "data", "case30test.m")
-N_SCENARIOS = 1024
+DATA = os.path.join(HERE, "tests", "data")
 TOL = 1e-8
-MAX_ITER = 20
 
 
-def cpu_reference_rate(system, scale):
-    """Single-threaded scipy NR (reference-style): iterations/second."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
+def _case(name):
+    import juliagrid_tpu as jg
+    return jg.power_system(os.path.join(DATA, name))
 
+
+def _best(fn, reps=3):
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _flat_start(system):
     n = system.bus.number
-    ybus = system.model.ac.nodal.tocsc()
-    g = ybus.real.toarray()
-    b = ybus.imag.toarray()
-    types = system.bus.layout.type.array[:n]
-    slack = system.bus.layout.slack
-    p0 = system.bus.supply.active.array[:n] - system.bus.demand.active.array[:n]
-    q0 = (system.bus.supply.reactive.array[:n]
-          - system.bus.demand.reactive.array[:n])
-    vm0 = system.bus.voltage.magnitude.array[:n].copy()
-    va0 = system.bus.voltage.angle.array[:n].copy()
-    is_pq = types == 1
-    not_slack = np.arange(n) != slack
+    system.bus.voltage.magnitude.array[:n] = 1.0
+    system.bus.voltage.angle.array[:n] = 0.0
 
-    total_iters = 0
+
+def _scada_pmu(system, pmu_every=10):
+    """SCADA+PMU measurement set from the solved power flow."""
+    from juliagrid_tpu.measurement.devices import (add_pmu, add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.powerflow.ac import newton_raphson
+    from juliagrid_tpu.powerflow.driver import power_flow
+
+    pf = newton_raphson(system)
+    power_flow(pf, power=True)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=False)
+    add_wattmeter(mon, analysis=pf, noise=False)
+    add_varmeter(mon, analysis=pf, noise=False)
+    for b in range(0, system.bus.number, pmu_every):
+        add_pmu(mon, bus=system.bus.label.label(b),
+                magnitude=float(pf.voltage.magnitude[b]),
+                angle=float(pf.voltage.angle[b]), polar=True, noise=False)
+    return mon, pf
+
+
+# ---------------------------------------------------------------------------
+# Config 1: NR IEEE-14 flat start (single case)
+# ---------------------------------------------------------------------------
+
+def config1_nr14():
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.oracle import oracle_nr
+    from juliagrid_tpu.powerflow.ac import _nr_solve, newton_raphson
+
+    system = _case("case14.m")
+    _flat_start(system)
+    analysis = newton_raphson(system)
+    arr = analysis.arrays
+    vm0 = jnp.asarray(analysis.voltage.magnitude)
+    va0 = jnp.asarray(analysis.voltage.angle)
+
+    def run():
+        vm, va, it, *_ = _nr_solve(arr, vm0, va0, TOL, 20, "LU")
+        vm.block_until_ready()
+        return it
+
+    iters = int(run())  # warmup/compile
+    t_fw = _best(run)
+
     t0 = time.perf_counter()
-    n_cases = min(64, len(scale))  # subsample; rate is per-iteration
-    for s in scale[:n_cases]:
-        ps, qs = p0 * s, q0 * s
-        vm, va = vm0.copy(), va0.copy()
-        for _ in range(MAX_ITER):
-            vc = vm * np.exp(1j * va)
-            inj = vc * np.conj(ybus.dot(vc))
-            mp = np.where(not_slack, inj.real - ps, 0.0)
-            mq = np.where(is_pq, inj.imag - qs, 0.0)
-            if max(np.abs(mp).max(), np.abs(mq).max()) < TOL:
+    res = oracle_nr(system)
+    t_cpu = time.perf_counter() - t0
+    assert res.iterations == iters, (res.iterations, iters)
+    return {
+        "fw_ms": round(t_fw * 1e3, 3), "cpu_ms": round(t_cpu * 1e3, 3),
+        "iterations": iters, "speedup": round(t_cpu / t_fw, 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 2: DC PF + fast-decoupled AC PF, IEEE 118
+# ---------------------------------------------------------------------------
+
+def config2_dc_fdpf_118():
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.oracle import oracle_dc, oracle_fdpf
+    from juliagrid_tpu.powerflow.dc import _dc_solve, dc_power_flow
+    from juliagrid_tpu.powerflow.fast_decoupled import (_fnr_solve,
+                                                        fast_newton_raphson_bx)
+
+    system = _case("case118.m")
+
+    pf = dc_power_flow(system)
+
+    def run_dc():
+        th = _dc_solve(pf.arrays, "LU")
+        th.block_until_ready()
+        return th
+
+    th = run_dc()
+    t_dc = _best(run_dc)
+    t0 = time.perf_counter()
+    res_dc = oracle_dc(system)
+    t_dc_cpu = time.perf_counter() - t0
+    assert np.max(np.abs(np.asarray(th) - res_dc.angle)) < 1e-6
+
+    fd = fast_newton_raphson_bx(system)
+    arr = fd.arrays
+    vm0 = jnp.asarray(fd.voltage.magnitude)
+    va0 = jnp.asarray(fd.voltage.angle)
+
+    def run_fd():
+        vm, va, it, *_ = _fnr_solve(arr, vm0, va0, TOL, 200, "LU")
+        vm.block_until_ready()
+        return it
+
+    iters = int(run_fd())
+    t_fd = _best(run_fd)
+    t0 = time.perf_counter()
+    res_fd = oracle_fdpf(system, bx=True, iteration=200)
+    t_fd_cpu = time.perf_counter() - t0
+    assert res_fd.iterations == iters, (res_fd.iterations, iters)
+    return {
+        "dc_fw_ms": round(t_dc * 1e3, 3),
+        "dc_cpu_ms": round(t_dc_cpu * 1e3, 3),
+        "dc_speedup": round(t_dc_cpu / t_dc, 2),
+        "fdpf_fw_ms": round(t_fd * 1e3, 3),
+        "fdpf_cpu_ms": round(t_fd_cpu * 1e3, 3),
+        "fdpf_iterations": iters,
+        "fdpf_speedup": round(t_fd_cpu / t_fd, 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 3: batched Monte-Carlo GN WLS SE, SCADA+PMU, IEEE 118
+# ---------------------------------------------------------------------------
+
+def _se_scenarios(arr, nscen, spread=0.5, rng_seed=3):
+    rng = np.random.default_rng(rng_seed)
+    base = np.asarray(arr.mean)
+    sigma = 1.0 / np.sqrt(np.asarray(arr.w))
+    return base[None, :] + spread * sigma[None, :] * rng.standard_normal(
+        (nscen, len(base)))
+
+
+def config3_se118(on_tpu):
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.estimation.acse import compile_se_arrays
+    from juliagrid_tpu.oracle import oracle_wls_se
+    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
+    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
+
+    system = _case("case118.m")
+    mon, pf = _scada_pmu(system)
+    arr, _, _ = compile_se_arrays(system, mon)
+    net = compile_ac_arrays(system)
+    n = system.bus.number
+
+    nscen = 1024 if on_tpu else 64
+    means = jnp.asarray(_se_scenarios(arr, nscen))
+    vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
+                              (nscen, 1)))
+    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n], (nscen, 1)))
+
+    def run():
+        vm, va, iters, conv = batched_se_solve_jit(
+            arr, net, vm0, va0, means, tol=TOL, max_iter=40)
+        vm.block_until_ready()
+        return iters, conv
+
+    iters, conv = run()
+    t_fw = _best(run)
+
+    # serial sparse oracle rate (subsample; scale by scenario count)
+    n_cpu = min(8, nscen)
+    t0 = time.perf_counter()
+    for _ in range(n_cpu):
+        res = oracle_wls_se(system, mon)
+    t_cpu_each = (time.perf_counter() - t0) / n_cpu
+    assert res.converged
+    rate_fw = nscen / t_fw
+    rate_cpu = 1.0 / t_cpu_each
+    total_iters = int(np.asarray(iters).sum())
+    return {
+        "scenarios": nscen,
+        "converged": int(np.asarray(conv).sum()),
+        "gn_iterations": total_iters,
+        "fw_solves_per_s": round(rate_fw, 1),
+        "cpu_solves_per_s": round(rate_cpu, 1),
+        "fw_wall_s": round(t_fw, 4),
+        "speedup": round(rate_fw / rate_cpu, 2),
+        "rows": int(np.asarray(arr.mean).shape[0]),
+        "achieved_tflops": _se_tflops(
+            total_iters, int(np.asarray(arr.mean).shape[0]), n, t_fw),
+    }
+
+
+def _se_tflops(gn_iterations, rows, n_bus, wall_s):
+    """Nominal FLOPs of the dominant SE kernels (gain matmul + LU) per
+    GN iteration, so 'fast' is demonstrated against the chip's peak, not
+    just against the CPU baseline."""
+    s = 2 * n_bus
+    flops = gn_iterations * (2.0 * rows * s * s + (2.0 / 3.0) * s**3)
+    return round(flops / wall_s / 1e12, 3)
+
+
+# ---------------------------------------------------------------------------
+# Config 4: LAV SE + largest-normalized-residual loop, IEEE 118
+# ---------------------------------------------------------------------------
+
+def config4_lav_baddata_118():
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.estimation.baddata import _deactivate, residual_test
+    from juliagrid_tpu.estimation.lav import ac_lav_state_estimation
+    from juliagrid_tpu.measurement.devices import update_wattmeter
+    from juliagrid_tpu.oracle import oracle_wls_se
+
+    system = _case("case118.m")
+    mon, pf = _scada_pmu(system)
+    # two gross errors for the LNR loop to find
+    update_wattmeter(mon, mon.wattmeter.label.label(3), active=5.0)
+    update_wattmeter(mon, mon.wattmeter.label.label(40), active=-4.0)
+
+    def lnr_loop():
+        se = gauss_newton(mon)
+        state_estimation(se)
+        removed = 0
+        while removed < 10:
+            bad = residual_test(se, threshold=3.0)
+            if not bad.detect:
                 break
-            th = va[:, None] - va[None, :]
-            st, ct = np.sin(th), np.cos(th)
-            vv = vm[:, None] * vm[None, :]
-            gc_bs = g * ct + b * st
-            gs_bc = g * st - b * ct
-            h = vv * gs_bc
-            nn = vm[:, None] * gc_bs
-            jj = -vv * gc_bs
-            ll = vm[:, None] * gs_bc
-            i = np.arange(n)
-            h[i, i] = -inj.imag - np.diag(b) * vm**2
-            nn[i, i] = inj.real / vm + np.diag(g) * vm
-            jj[i, i] = inj.real - np.diag(g) * vm**2
-            ll[i, i] = inj.imag / vm - np.diag(b) * vm
-            mask = np.concatenate([not_slack, is_pq]).astype(float)
-            jac = np.block([[h, nn], [jj, ll]])
-            jac = mask[:, None] * jac * mask[None, :] + np.diag(1 - mask)
-            rhs = np.concatenate([mp, mq]) * mask
-            dx = spla.splu(sp.csc_matrix(jac)).solve(rhs)
-            va = va - np.where(not_slack, dx[:n], 0.0)
-            vm = vm - np.where(is_pq, dx[n:], 0.0)
-            total_iters += 1
-    dt = time.perf_counter() - t0
-    return total_iters / dt
+            removed += 1
+            state_estimation(se)
+        return removed, se
+
+    t0 = time.perf_counter()
+    removed, se = lnr_loop()
+    t_fw = time.perf_counter() - t0
+
+    # CPU baseline: oracle WLS + sparse-gain LNR loop (same algorithm:
+    # re-estimate, normalized residuals from the residual-covariance
+    # diagonal, deactivate the worst row, repeat)
+    mon2, _ = _scada_pmu(system)
+    update_wattmeter(mon2, mon2.wattmeter.label.label(3), active=5.0)
+    update_wattmeter(mon2, mon2.wattmeter.label.label(40), active=-4.0)
+
+    def cpu_loop():
+        removed = 0
+        while removed < 10:
+            res = oracle_wls_se(system, mon2)
+            H = res.jacobian.tocsc()
+            keep = np.ones(H.shape[1])
+            keep[res.slack] = 0.0
+            Hm = (H @ sp.diags(keep)).tocsc()
+            gain = (Hm.T @ sp.diags(res.weights) @ Hm
+                    + sp.diags(1.0 - keep)).tocsc()
+            lu = splu(gain)
+            ginv_ht = lu.solve(Hm.T.toarray())
+            c = 1.0 / res.weights - np.einsum(
+                "ji,ji->i", ginv_ht, Hm.toarray().T)
+            rn = np.abs(res.residual) / np.sqrt(np.maximum(c, 1e-14))
+            k = int(np.argmax(rn))
+            if rn[k] <= 3.0:
+                break
+            kind, dev = res.row_device[k]
+            _deactivate(mon2, kind, dev)
+            removed += 1
+        return removed
+
+    t0 = time.perf_counter()
+    removed_cpu = cpu_loop()
+    t_cpu = time.perf_counter() - t0
+
+    mon3, _ = _scada_pmu(system)
+    lav = ac_lav_state_estimation(mon3)
+    t0 = time.perf_counter()
+    state_estimation(lav)
+    t_lav = time.perf_counter() - t0
+    err = float(np.max(np.abs(lav.voltage.magnitude - pf.voltage.magnitude)))
+    return {
+        "lnr_removed": removed, "lnr_fw_s": round(t_fw, 3),
+        "lnr_cpu_removed": removed_cpu, "lnr_cpu_s": round(t_cpu, 3),
+        "lnr_speedup": round(t_cpu / t_fw, 2),
+        "lav_converged": bool(lav.method.converged),
+        "lav_iterations": int(lav.method.iteration),
+        "lav_wall_s": round(t_lav, 2),
+        "lav_state_err_vs_pf": round(err, 9),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config 5: IPM AC OPF (pegase) + batched Monte-Carlo SE (pegase)
+# ---------------------------------------------------------------------------
+
+def config5_pegase(on_tpu):
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.estimation.acse import compile_se_arrays
+    from juliagrid_tpu.oracle import oracle_wls_se
+    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
+    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
+
+    out = {}
+
+    # --- AC OPF (interior point); pegase on the chip, 118 on CPU dry-runs
+    # (the pegase IPM takes ~1h of CPU; this is a TPU benchmark) ---
+    opf_case = "case1354pegase.h5" if on_tpu else "case118.m"
+    try:
+        from juliagrid_tpu.opf.acopf import ac_optimal_power_flow, solve
+        system = _case(opf_case)
+        opf = ac_optimal_power_flow(system)
+        t0 = time.perf_counter()
+        solve(opf)
+        t_opf = time.perf_counter() - t0
+        out.update(opf_case=opf_case,
+                   opf_converged=bool(opf.method.converged),
+                   opf_iterations=int(opf.method.iteration),
+                   opf_objective=round(float(opf.method.objective), 2),
+                   opf_wall_s=round(t_opf, 2))
+    except Exception as exc:  # report, don't kill the bench
+        out.update(opf_case=opf_case, opf_converged=False,
+                   opf_error=str(exc)[:200])
+
+    # --- batched Monte-Carlo WLS SE (the 10k-scenario pod shape) ---
+    system = _case("case1354pegase.h5")
+    mon, pf = _scada_pmu(system, pmu_every=10)
+    arr, _, _ = compile_se_arrays(system, mon)
+    net = compile_ac_arrays(system)
+    n = system.bus.number
+
+    nscen = 256 if on_tpu else 4
+    chunk = 8 if on_tpu else 2
+    means = _se_scenarios(arr, nscen)
+    vm0 = np.tile(system.bus.voltage.magnitude.array[:n], (chunk, 1))
+    va0 = np.tile(system.bus.voltage.angle.array[:n], (chunk, 1))
+    vm0 = jnp.asarray(vm0)
+    va0 = jnp.asarray(va0)
+
+    def run_chunk(mz):
+        vm, va, iters, conv = batched_se_solve_jit(
+            arr, net, vm0, va0, jnp.asarray(mz), tol=TOL, max_iter=40)
+        vm.block_until_ready()
+        return iters, conv
+
+    run_chunk(means[:chunk])  # warmup
+    t0 = time.perf_counter()
+    total_conv = 0
+    total_iters = 0
+    for k in range(0, nscen, chunk):
+        iters, conv = run_chunk(means[k:k + chunk])
+        total_conv += int(np.asarray(conv).sum())
+        total_iters += int(np.asarray(iters).sum())
+    t_fw = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = oracle_wls_se(system, mon)
+    t_cpu_each = time.perf_counter() - t0
+    assert res.converged
+    rate_fw = nscen / t_fw
+    rate_cpu = 1.0 / t_cpu_each
+    out.update({
+        "se_scenarios": nscen, "se_chunk": chunk,
+        "se_converged": total_conv, "se_gn_iterations": total_iters,
+        "se_fw_solves_per_s": round(rate_fw, 2),
+        "se_cpu_solves_per_s": round(rate_cpu, 2),
+        "se_speedup": round(rate_fw / rate_cpu, 2),
+        "se_rows": int(np.asarray(arr.mean).shape[0]),
+        "se_10k_projected_s": round(10000 / rate_fw, 1),
+        "se_achieved_tflops": _se_tflops(
+            total_iters, int(np.asarray(arr.mean).shape[0]), n, t_fw),
+    })
+    return out
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    import juliagrid_tpu as jg
-    from juliagrid_tpu.parallel.batch import batched_nr_solve_jit
-    from juliagrid_tpu.powerflow.ac import newton_raphson
+    device = jax.devices()[0]
+    on_tpu = device.platform not in ("cpu",)
 
-    system = jg.power_system(CASE)
-    analysis = newton_raphson(system)
-    arr = analysis.arrays
-    n = system.bus.number
+    c1 = config1_nr14()
+    c2 = config2_dc_fdpf_118()
+    c3 = config3_se118(on_tpu)
+    c4 = config4_lav_baddata_118()
+    c5 = config5_pegase(on_tpu)
 
-    rng = np.random.default_rng(11)
-    scale = 1.0 + 0.04 * rng.standard_normal(N_SCENARIOS)
-    vm0 = jnp.asarray(np.tile(analysis.voltage.magnitude, (N_SCENARIOS, 1)))
-    va0 = jnp.asarray(np.tile(analysis.voltage.angle, (N_SCENARIOS, 1)))
-    ps = jnp.asarray(np.asarray(arr.p_sched)[None, :] * scale[:, None])
-    qs = jnp.asarray(np.asarray(arr.q_sched)[None, :] * scale[:, None])
+    ratios = [c1["speedup"], c2["dc_speedup"], c2["fdpf_speedup"],
+              c3["speedup"], c4["lnr_speedup"]]
+    if "se_speedup" in c5:
+        ratios.append(c5["se_speedup"])
+    geomean = float(np.exp(np.mean(np.log(np.maximum(ratios, 1e-12)))))
 
-    # warmup/compile
-    vm, va, iters, conv = batched_nr_solve_jit(arr, vm0, va0, ps, qs,
-                                               tol=TOL, max_iter=MAX_ITER)
-    vm.block_until_ready()
-
-    t0 = time.perf_counter()
-    vm, va, iters, conv = batched_nr_solve_jit(arr, vm0, va0, ps, qs,
-                                               tol=TOL, max_iter=MAX_ITER)
-    vm.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    total_iters = int(np.asarray(iters).sum())
-    rate = total_iters / dt
-    n_conv = int(np.asarray(conv).sum())
-
-    se_detail = se_bench(system, vm, va, scale)
-
-    base_rate = cpu_reference_rate(system, scale)
     print(json.dumps({
-        "metric": "nr_iterations_per_second_case30_batch1024",
-        "value": round(rate, 1),
-        "unit": "iterations/s",
-        "vs_baseline": round(rate / base_rate, 2),
+        "metric": "baseline_configs_speedup_geomean",
+        "value": round(geomean, 3),
+        "unit": "x vs sparse CPU oracle (CSC+splu, reference stack shape)",
+        "vs_baseline": round(geomean, 3),
         "detail": {
-            "scenarios": N_SCENARIOS,
-            "converged": n_conv,
-            "wall_s": round(dt, 4),
-            "total_nr_iterations": total_iters,
-            "cpu_baseline_iters_per_s": round(base_rate, 1),
-            "device": str(jax.devices()[0]),
-            **se_detail,
+            "device": str(device),
+            "config1_nr14_flat": c1,
+            "config2_dc_fdpf_118": c2,
+            "config3_wls_se_118": c3,
+            "config4_lav_baddata_118": c4,
+            "config5_pegase": c5,
         },
     }))
-
-
-def se_bench(system, vm_solved, va_solved, scale):
-    """Batched Monte-Carlo WLS SE throughput (BASELINE config 3/5 shape)."""
-    import jax.numpy as jnp
-
-    from juliagrid_tpu.estimation.acse import compile_se_arrays
-    from juliagrid_tpu.measurement.devices import (add_varmeter,
-                                                   add_voltmeter,
-                                                   add_wattmeter)
-    from juliagrid_tpu.measurement.load import measurement
-    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
-    from juliagrid_tpu.postprocessing.ac import power as ac_power
-    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
-
-    class _V:  # adapter: solved state of scenario 0 as an analysis-like obj
-        pass
-
-    pf = _V()
-    pf.voltage = _V()
-    pf.voltage.magnitude = np.asarray(vm_solved)[0]
-    pf.voltage.angle = np.asarray(va_solved)[0]
-    pf.system = system
-    pf.power = None
-    pf.current = None
-    pf.kind = "power_flow"
-    ac_power(pf)
-
-    monitoring = measurement(system)
-    add_voltmeter(monitoring, analysis=pf)
-    add_wattmeter(monitoring, analysis=pf)
-    add_varmeter(monitoring, analysis=pf)
-    arr, _, _ = compile_se_arrays(system, monitoring)
-    net = compile_ac_arrays(system)
-
-    n = system.bus.number
-    nscen = N_SCENARIOS
-    rng = np.random.default_rng(3)
-    base_mean = np.asarray(arr.mean)
-    sigma = 1.0 / np.sqrt(np.asarray(arr.w))
-    means = jnp.asarray(base_mean[None, :]
-                        + 0.5 * sigma[None, :]
-                        * rng.standard_normal((nscen, len(base_mean))))
-    vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
-                              (nscen, 1)))
-    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n],
-                              (nscen, 1)))
-
-    vm, va, iters, conv = batched_se_solve_jit(arr, net, vm0, va0, means,
-                                               tol=1e-8, max_iter=40)
-    vm.block_until_ready()
-    t0 = time.perf_counter()
-    vm, va, iters, conv = batched_se_solve_jit(arr, net, vm0, va0, means,
-                                               tol=1e-8, max_iter=40)
-    vm.block_until_ready()
-    dt = time.perf_counter() - t0
-    return {
-        "se_scenarios": nscen,
-        "se_wall_s": round(dt, 4),
-        "se_converged": int(np.asarray(conv).sum()),
-        "se_solves_per_s": round(nscen / dt, 1),
-        "se_gn_iterations": int(np.asarray(iters).sum()),
-    }
 
 
 if __name__ == "__main__":

@@ -530,15 +530,19 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
     col_mask = jnp.ones(2 * n, dtype=vm.dtype).at[arr.slack].set(0.0)
     Hm = H * col_mask[None, :]
 
-    if kind == linalg.QR:
-        # Orthogonal: QR of W^1/2 H (diagonal weights only)
+    if kind in (linalg.QR, linalg.PW):
+        # square-root methods on W^1/2 H (diagonal weights only):
+        # Orthogonal (QR) or Peters-Wilkinson (tall LU + L-normal eqs)
         sw = jnp.sqrt(arr.w)[:, None]
         A = sw * Hm
         # append identity row for the slack column to keep A full rank
         e = jnp.zeros((1, 2 * n), dtype=vm.dtype).at[0, arr.slack].set(1.0)
         A = jnp.concatenate([A, e], axis=0)
         b = jnp.concatenate([jnp.sqrt(arr.w) * r, jnp.zeros(1)])
-        dx = linalg.solve(linalg.factorize(A, linalg.QR), b)
+        if kind == linalg.PW:
+            dx = linalg.pw_lsq_solve(A, b)
+        else:
+            dx = linalg.solve(linalg.factorize(A, linalg.QR), b)
     else:
         WH, wr = _weighted(arr, Hm, r)
         gain = Hm.T @ WH + jnp.diag(1.0 - col_mask)
@@ -636,7 +640,7 @@ def gauss_newton(monitoring, factorization: str = linalg.LU
     system.check_slack()
     model(system, "ac")
     n = system.bus.number
-    if factorization == linalg.QR:
+    if factorization in (linalg.QR, linalg.PW):
         pmu = monitoring.pmu
         npmu = pmu.number
         corr = pmu.layout.correlated.array[:npmu].astype(bool)
@@ -672,7 +676,8 @@ def increment(analysis: AcStateEstimation) -> float:
     analysis._refresh_arrays()
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)
-    kind = linalg.QR if analysis.method.factorization == linalg.QR \
+    kind = analysis.method.factorization \
+        if analysis.method.factorization in (linalg.QR, linalg.PW) \
         else linalg.LU
     dx, maxinc = _gn_increment_jit(analysis.arrays, analysis.net, vm, va,
                                    kind)
@@ -711,7 +716,8 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
 
     analysis._refresh_arrays()
     analysis.method.iteration = 0
-    kind = linalg.QR if analysis.method.factorization == linalg.QR \
+    kind = analysis.method.factorization \
+        if analysis.method.factorization in (linalg.QR, linalg.PW) \
         else linalg.LU
     verbose = 0 if verbose is None else verbose
 

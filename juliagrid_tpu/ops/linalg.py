@@ -36,6 +36,7 @@ KLU = "KLU"
 QR = "QR"
 LL = "LL"
 LDLT = "LDLt"
+PW = "PW"  # Peters-Wilkinson tall LU + L-normal equations
 
 _REFINE_STEPS = 3
 
@@ -105,6 +106,40 @@ def solve_direct(a64: jax.Array, b64: jax.Array, kind: str = LU) -> jax.Array:
 @partial(jax.jit, static_argnames=("kind", "refine"))
 def jit_solve_direct(a64, b64, kind: str = LU, refine: int = _REFINE_STEPS):
     return solve(factorize(a64, kind), b64, refine)
+
+
+def pw_lsq_solve(a64: jax.Array, b64: jax.Array,
+                 refine: int = _REFINE_STEPS) -> jax.Array:
+    """Peters-Wilkinson least squares: min ||A x - b|| via tall LU.
+
+    Factor P A = L U (rectangular partial-pivoted LU, m x k with m >= k):
+    L is unit lower trapezoidal with |L_ij| <= 1, so cond(LᵀL) stays O(1)
+    even when extreme measurement weights make cond(AᵀA) overflow the
+    normal equations — the reference's PW method
+    (acStateEstimation.jl:933-971). Solve (LᵀL) y = Lᵀ P b (Cholesky),
+    then U x = y; f64 least-squares refinement drives the residual down
+    with the f32 factors reused.
+    """
+    m, k = a64.shape
+    a32 = a64.astype(jnp.float32)
+    lu, _, perm = jax.lax.linalg.lu(a32)
+    low = jnp.tril(lu, -1)[:, :k] + jnp.eye(m, k, dtype=jnp.float32)
+    up = jnp.triu(lu[:k, :])
+    ltl = low.T @ low
+    chol = jsl.cho_factor(ltl, lower=True)[0]
+
+    def ls_solve32(rhs64):
+        rhs32 = rhs64.astype(jnp.float32)[perm]
+        y = jsl.cho_solve((chol, True), low.T @ rhs32)
+        return jsl.solve_triangular(up, y, lower=False)
+
+    x = ls_solve32(b64).astype(b64.dtype)
+
+    def body(_, x):
+        r = b64 - a64 @ x
+        return x + ls_solve32(r).astype(b64.dtype)
+
+    return jax.lax.fori_loop(0, refine, body, x)
 
 
 # Array-only LU helpers (vmap/shard_map-friendly: no string-tagged pytrees)

@@ -165,3 +165,36 @@ def test_orthogonal_rejects_correlated_pmus(solved14):
     add_pmu(monitoring, analysis=pf, correlated=True)
     with pytest.raises(ValueError, match="non-diagonal precision"):
         gauss_newton(monitoring, factorization=linalg.QR)
+
+
+def test_peters_wilkinson_path(data_path):
+    """PW (tall LU + L-normal equations) matches Normal/QR on standard and
+    extreme-weight sets (reference acStateEstimation.jl:933-971)."""
+    from juliagrid_tpu.measurement.devices import update_voltmeter
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = newton_raphson(system)
+    power_flow(pf, power=True)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=False)
+    add_wattmeter(mon, analysis=pf, noise=False)
+    add_varmeter(mon, analysis=pf, noise=False)
+
+    base = gauss_newton(mon, factorization="LU")
+    state_estimation(base)
+    pw = gauss_newton(mon, factorization="PW")
+    state_estimation(pw)
+    assert pw.method.converged
+    assert pw.method.iteration == base.method.iteration
+    np.testing.assert_allclose(pw.voltage.magnitude, base.voltage.magnitude,
+                               atol=1e-10)
+
+    # extreme weight ratio (1e17): the square-root methods' home turf
+    update_voltmeter(mon, mon.voltmeter.label.label(0), variance=1e-18)
+    for v in range(1, mon.voltmeter.number):
+        update_voltmeter(mon, mon.voltmeter.label.label(v), variance=1e-1)
+    pw = gauss_newton(mon, factorization="PW")
+    state_estimation(pw)
+    assert pw.method.converged
+    np.testing.assert_allclose(pw.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-9)

@@ -44,3 +44,63 @@ def test_projection_diag_matches_dense(data_path):
     c_sparse = projection_diag_sparse(sp.csr_matrix(h), w,
                                       mask_cols=[slack])
     np.testing.assert_allclose(c_sparse, c_dense, atol=1e-8)
+
+
+def test_projection_diag_sparse_10k_scale(data_path):
+    """Vectorized recurrences at ACTIVSg10k scale (80k rows, 20k states):
+    sanity-bounded leverages, spot-row exactness, and a wall-time budget
+    (the round-1 dict recurrences took minutes here)."""
+    import time
+
+    import juliagrid_tpu as jg
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.oracle import oracle_nr, oracle_wls_se
+    from juliagrid_tpu.postprocessing.ac import power as ac_power
+    from juliagrid_tpu.system.model import model
+    from scipy.sparse.linalg import splu
+
+    system = jg.power_system(str(data_path / "case_ACTIVSg10k.h5"))
+    model(system, "ac")
+    pfo = oracle_nr(system, iteration=50)
+
+    class _V:
+        pass
+
+    pf = _V()
+    pf.voltage = _V()
+    pf.voltage.magnitude = pfo.magnitude
+    pf.voltage.angle = pfo.angle
+    pf.system = system
+    pf.power = None
+    pf.current = None
+    pf.kind = "power_flow"
+    ac_power(pf)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=False)
+    add_wattmeter(mon, analysis=pf, noise=False)
+    add_varmeter(mon, analysis=pf, noise=False)
+    res = oracle_wls_se(system, mon)
+
+    t0 = time.perf_counter()
+    c = projection_diag_sparse(res.jacobian, res.weights,
+                               mask_cols=[res.slack])
+    wall = time.perf_counter() - t0
+    assert wall < 60.0  # ~6 s measured; dict version was minutes
+    lev = c * res.weights
+    assert lev.min() > -1e-9 and lev.max() < 1.0 + 1e-9
+
+    # spot-exactness against direct solves
+    h = sp.csr_matrix(res.jacobian)
+    keep = np.ones(h.shape[1])
+    keep[res.slack] = 0.0
+    hm = (h @ sp.diags(keep)).tocsr()
+    g = (hm.T @ sp.diags(res.weights) @ hm + sp.diags(1 - keep)).tocsc()
+    lu = splu(g)
+    rng = np.random.default_rng(0)
+    for r in rng.choice(h.shape[0], 8, replace=False):
+        hr = hm[r].toarray().ravel()
+        exact = hr @ lu.solve(hr)
+        assert abs(c[r] - exact) <= 1e-6 * max(abs(exact), 1e-12)
