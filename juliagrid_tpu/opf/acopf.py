@@ -136,10 +136,13 @@ class _AcSpec:
         self.ineq_tags = []
         vmin = bus.voltage.min_magnitude.array[:n]
         vmax = bus.voltage.max_magnitude.array[:n]
+        self.fix_v = [(i, float(vmin[i])) for i in range(n)
+                      if np.isfinite(vmin[i]) and vmin[i] == vmax[i]]
+        fixed_v = {i for i, _ in self.fix_v}
         self.v_lo = [(i, float(vmin[i])) for i in range(n)
-                     if np.isfinite(vmin[i])]
+                     if np.isfinite(vmin[i]) and i not in fixed_v]
         self.v_hi = [(i, float(vmax[i])) for i in range(n)
-                     if np.isfinite(vmax[i])]
+                     if np.isfinite(vmax[i]) and i not in fixed_v]
         for i, _ in self.v_lo:
             self.ineq_tags.append(("voltage_min", i))
         for i, _ in self.v_hi:
@@ -147,17 +150,28 @@ class _AcSpec:
 
         cap = gen.capability
         self.p_lo, self.p_hi, self.q_lo, self.q_hi = [], [], [], []
+        # lo == hi boxes are fixed outputs: two opposing inequalities can
+        # never both hold strictly (their barrier slacks would have to sum
+        # to zero), so they become equality rows — JuMP's fixed-variable
+        # treatment for the same situation (Ipopt make_parameter)
+        self.fix_p, self.fix_q = [], []
         for i in range(g):
             if not self.gen_on[i]:
                 continue
-            for store, val, tag in (
-                    (self.p_lo, cap.min_active[i], "active_min"),
-                    (self.p_hi, cap.max_active[i], "active_max"),
-                    (self.q_lo, cap.min_reactive[i], "reactive_min"),
-                    (self.q_hi, cap.max_reactive[i], "reactive_max")):
-                if np.isfinite(val):
-                    store.append((i, float(val)))
-                    self.ineq_tags.append((tag, i))
+            for lo_store, hi_store, fix_store, lo, hi, kindtag in (
+                    (self.p_lo, self.p_hi, self.fix_p,
+                     cap.min_active[i], cap.max_active[i], "active"),
+                    (self.q_lo, self.q_hi, self.fix_q,
+                     cap.min_reactive[i], cap.max_reactive[i], "reactive")):
+                if np.isfinite(lo) and lo == hi:
+                    fix_store.append((i, float(lo)))
+                    continue
+                if np.isfinite(lo):
+                    lo_store.append((i, float(lo)))
+                    self.ineq_tags.append((f"{kindtag}_min", i))
+                if np.isfinite(hi):
+                    hi_store.append((i, float(hi)))
+                    self.ineq_tags.append((f"{kindtag}_max", i))
 
         # capability-curve cuts (reference capabilityCurve, :570-627)
         self.curve_cuts = []
@@ -270,6 +284,9 @@ class _AcSpec:
 
         self.vlo_i, self.vlo_b = _pairs(self.v_lo)
         self.vhi_i, self.vhi_b = _pairs(self.v_hi)
+        self.fixv_i, self.fixv_b = _pairs(self.fix_v)
+        self.fixp_i, self.fixp_b = _pairs(self.fix_p)
+        self.fixq_i, self.fixq_b = _pairs(self.fix_q)
         self.plo_i, self.plo_b = _pairs(self.p_lo)
         self.phi_i, self.phi_b = _pairs(self.p_hi)
         self.qlo_i, self.qlo_b = _pairs(self.q_lo)
@@ -343,6 +360,68 @@ class _AcSpec:
         tags += [("piecewise_reactive", int(gi)) for gi in self.pwq[0]]
         self.ineq_tags = tags
 
+    def push_inside(self, x0):
+        """Project the start strictly inside the simple-bound constraints
+        (Ipopt's push_x0 / bound_push kappa_1 = 0.01): MATPOWER starts
+        routinely sit outside their own boxes (V above Vmax, Qg outside
+        capability), which pins the IPM slacks at the boundary and caps
+        the fraction-to-boundary step at ~1e-3."""
+        n, g = self.n, self.g
+        kappa = 0.01
+
+        def _clip(vec, lo_pairs, hi_pairs):
+            lo = np.full(vec.shape, -np.inf)
+            hi = np.full(vec.shape, np.inf)
+            for i, b in lo_pairs:
+                lo[i] = b
+            for i, b in hi_pairs:
+                hi[i] = b
+            pl = np.where(np.isfinite(lo),
+                          kappa * np.maximum(1.0, np.abs(lo)), 0.0)
+            pu = np.where(np.isfinite(hi),
+                          kappa * np.maximum(1.0, np.abs(hi)), 0.0)
+            both = np.isfinite(lo) & np.isfinite(hi)
+            width = np.where(both, hi - lo, np.inf)
+            pl = np.minimum(pl, kappa * width)
+            pu = np.minimum(pu, kappa * width)
+            lo_eff = np.where(np.isfinite(lo), lo + pl, -np.inf)
+            hi_eff = np.where(np.isfinite(hi), hi - pu, np.inf)
+            return np.clip(vec, np.minimum(lo_eff, hi_eff),
+                           np.maximum(lo_eff, hi_eff))
+
+        x0[n:2 * n] = _clip(x0[n:2 * n], self.v_lo, self.v_hi)
+        x0[2 * n:2 * n + g] = _clip(x0[2 * n:2 * n + g],
+                                    self.p_lo, self.p_hi)
+        x0[2 * n + g:2 * n + 2 * g] = _clip(
+            x0[2 * n + g:2 * n + 2 * g], self.q_lo, self.q_hi)
+        # fixed outputs/voltages start exactly at their fixed value
+        for i, b in self.fix_v:
+            x0[n + i] = b
+        for i, b in self.fix_p:
+            x0[2 * n + i] = b
+        for i, b in self.fix_q:
+            x0[2 * n + g + i] = b
+
+    def init_helpers(self, x0):
+        """Initialize the piecewise epigraph helpers to the actual piecewise
+        cost at the starting generator outputs, so every epigraph cut is
+        feasible at the initial point (h >= slope*p - icept holds with
+        equality on the active segment). Helpers at an arbitrary constant
+        violate the cuts by cost-unit magnitudes and force the IPM through
+        a long infeasibility phase."""
+        n, g = self.n, self.g
+        for cuts, n_h, off, pq0 in (
+                (self.pwp, self.n_hp, 2 * n + 2 * g,
+                 x0[2 * n:2 * n + g]),
+                (self.pwq, self.n_hq, 2 * n + 2 * g + self.n_hp,
+                 x0[2 * n + g:2 * n + 2 * g])):
+            gi, hpos, slope, icept = cuts
+            if not len(gi):
+                continue
+            h = np.full(n_h, -np.inf)
+            np.maximum.at(h, hpos, slope * pq0[gi] - icept)
+            x0[off:off + n_h] = np.where(np.isfinite(h), h + 1e-3, 1.0)
+
     # ---- state layout ----------------------------------------------------
 
     def split(self, x):
@@ -396,6 +475,12 @@ class _AcSpec:
         if len(off_idx):
             out.append(pg[off_idx])
             out.append(qg[off_idx])
+        if len(self.fixv_i):
+            out.append(v[self.fixv_i] - self.fixv_b)
+        if len(self.fixp_i):
+            out.append(pg[self.fixp_i] - self.fixp_b)
+        if len(self.fixq_i):
+            out.append(qg[self.fixq_i] - self.fixq_b)
         return jnp.concatenate(out)
 
     def _flow_values(self, theta, v):
@@ -462,8 +547,9 @@ def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
     x0[n:2 * n] = system.bus.voltage.magnitude.array[:n]
     x0[2 * n:2 * n + g] = system.generator.output.active.array[:g]
     x0[2 * n + g:2 * n + 2 * g] = system.generator.output.reactive.array[:g]
+    spec.push_inside(x0)
     if spec.n_hp or spec.n_hq:
-        x0[2 * n + 2 * g:] = 1.0
+        spec.init_helpers(x0)
 
     power = AcPower(generator=Cartesian(
         active=system.generator.output.active.array[:g].copy(),
@@ -481,7 +567,7 @@ def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
 
 
 def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
-          tolerance: float = 1e-9, verbose: int = 0) -> AcOptimalPowerFlow:
+          tolerance: float = 1e-8, verbose: int = 0) -> AcOptimalPowerFlow:
     analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
@@ -524,8 +610,9 @@ def set_initial_point(analysis: AcOptimalPowerFlow, source=None):
         x0[2 * n:2 * n + g] = system.generator.output.active.array[:g]
         x0[2 * n + g:2 * n + 2 * g] = \
             system.generator.output.reactive.array[:g]
+        spec.push_inside(x0)
         if spec.n_hp or spec.n_hq:
-            x0[2 * n + 2 * g:] = 1.0
+            spec.init_helpers(x0)
         analysis._x0 = x0
     else:
         x0 = np.asarray(analysis._x0).copy()
@@ -538,4 +625,7 @@ def set_initial_point(analysis: AcOptimalPowerFlow, source=None):
             if len(getattr(source.power.generator, "reactive", [])) == g:
                 x0[2 * n + g:2 * n + 2 * g] = \
                     source.power.generator.reactive
+        spec.push_inside(x0)
+        if spec.n_hp or spec.n_hq:
+            spec.init_helpers(x0)
         analysis._x0 = x0

@@ -68,8 +68,9 @@ class DcOptimalPowerFlow:
                 x0[:n] = self.system.bus.voltage.angle.array[:n]
                 x0[n:n + gg] = \
                     self.system.generator.output.active.array[:gg]
+                self._spec.push_inside(x0)
                 if self._spec.n_h:
-                    x0[n + gg:] = 1.0
+                    self._spec.init_helpers(x0)
                 self._x0 = x0
             self.signature = {"key": key}
 
@@ -146,12 +147,17 @@ class _DcSpec:
         # inequality bookkeeping (kind, info) in order of c_I entries
         self.ineq_tags = []
 
-        cap_lo, cap_hi = [], []
+        cap_lo, cap_hi, fix_p = [], [], []
         for i in range(g):
             if not self.gen_on[i]:
                 continue
             lo = gen.capability.min_active[i]
             hi = gen.capability.max_active[i]
+            if np.isfinite(lo) and lo == hi:
+                # fixed output: an equality row, not two opposing
+                # inequalities (their slacks could never both stay > 0)
+                fix_p.append((i, float(lo)))
+                continue
             if np.isfinite(lo):
                 cap_lo.append((i, float(lo)))
                 self.ineq_tags.append(("capability_min", i))
@@ -160,6 +166,7 @@ class _DcSpec:
                 self.ineq_tags.append(("capability_max", i))
         self.cap_lo = cap_lo
         self.cap_hi = cap_hi
+        self.fix_p = fix_p
 
         m = system.branch.number
         br = system.branch
@@ -204,6 +211,45 @@ class _DcSpec:
         for (gi, hpos, slope, icept) in self.pw_cuts:
             self.ineq_tags.append(("piecewise", gi))
 
+    def init_helpers(self, x0):
+        """Initialize epigraph helpers to the piecewise cost at the starting
+        outputs so every cut holds at the initial point (see the AC spec's
+        init_helpers for why a constant start cripples the IPM)."""
+        n, g = self.n, self.g
+        if not self.n_h:
+            return
+        pg0 = x0[n:n + g]
+        h = np.full(self.n_h, -np.inf)
+        for gi, hpos, slope, icept in self.pw_cuts:
+            h[hpos] = max(h[hpos], slope * pg0[gi] - icept)
+        x0[n + g:] = np.where(np.isfinite(h), h + 1e-3, 1.0)
+
+    def push_inside(self, x0):
+        """Project the start strictly inside the capability boxes and set
+        fixed outputs exactly (Ipopt push_x0; see the AC spec)."""
+        n, g = self.n, self.g
+        kappa = 0.01
+        lo = np.full(g, -np.inf)
+        hi = np.full(g, np.inf)
+        for i, b in self.cap_lo:
+            lo[i] = b
+        for i, b in self.cap_hi:
+            hi[i] = b
+        pl = np.where(np.isfinite(lo),
+                      kappa * np.maximum(1.0, np.abs(lo)), 0.0)
+        pu = np.where(np.isfinite(hi),
+                      kappa * np.maximum(1.0, np.abs(hi)), 0.0)
+        both = np.isfinite(lo) & np.isfinite(hi)
+        width = np.where(both, hi - lo, np.inf)
+        pl = np.minimum(pl, kappa * width)
+        pu = np.minimum(pu, kappa * width)
+        lo_eff = np.where(np.isfinite(lo), lo + pl, -np.inf)
+        hi_eff = np.where(np.isfinite(hi), hi - pu, np.inf)
+        x0[n:n + g] = np.clip(x0[n:n + g], np.minimum(lo_eff, hi_eff),
+                              np.maximum(lo_eff, hi_eff))
+        for i, b in self.fix_p:
+            x0[n + i] = b
+
     # ---- NLP functions ---------------------------------------------------
 
     def split(self, x):
@@ -228,6 +274,10 @@ class _DcSpec:
         off = ~jnp.asarray(self.gen_on)
         if bool(np.any(~self.gen_on)):
             out.append(pg[np.flatnonzero(~self.gen_on)])
+        if self.fix_p:
+            idx = np.asarray([i for i, _ in self.fix_p], dtype=np.int64)
+            val = np.asarray([b for _, b in self.fix_p])
+            out.append(pg[idx] - val)
         return jnp.concatenate(out)
 
     def ineq(self, x):
@@ -264,8 +314,9 @@ def dc_optimal_power_flow(system: PowerSystem) -> DcOptimalPowerFlow:
     x0 = np.zeros(spec.n_x)
     x0[:n] = system.bus.voltage.angle.array[:n]
     x0[n:n + g] = system.generator.output.active.array[:g]
+    spec.push_inside(x0)
     if spec.n_h:
-        x0[n + g:] = 1.0
+        spec.init_helpers(x0)
     power = DcPower(generator=Cartesian(
         active=system.generator.output.active.array[:g].copy()))
     analysis = DcOptimalPowerFlow(
@@ -280,7 +331,7 @@ def dc_optimal_power_flow(system: PowerSystem) -> DcOptimalPowerFlow:
 
 
 def solve(analysis: DcOptimalPowerFlow, max_iter: int = 200,
-          tolerance: float = 1e-9, verbose: int = 0) -> DcOptimalPowerFlow:
+          tolerance: float = 1e-8, verbose: int = 0) -> DcOptimalPowerFlow:
     """Reference solve! — runs the IPM and harvests primal/duals."""
     analysis._refresh_spec()
     spec = analysis._spec
@@ -320,14 +371,19 @@ def set_initial_point(analysis: DcOptimalPowerFlow, source=None):
     n, g = spec.n, spec.g
     system = analysis.system
     if source is None:
-        analysis._x0 = np.concatenate([
+        x0 = np.concatenate([
             system.bus.voltage.angle.array[:n],
             system.generator.output.active.array[:g],
             np.ones(spec.n_h)])
+        spec.push_inside(x0)
+        spec.init_helpers(x0)
+        analysis._x0 = x0
     else:
         x0 = np.asarray(analysis._x0).copy()
         x0[:n] = source.voltage.angle[:n]
         if hasattr(source, "power") and source.power is not None \
                 and len(source.power.generator.active) == g:
             x0[n:n + g] = source.power.generator.active
+        spec.push_inside(x0)
+        spec.init_helpers(x0)
         analysis._x0 = x0

@@ -2,24 +2,34 @@
 
 This is the framework's own optimizer — the component the reference
 delegates to Ipopt/HiGHS/GLPK through JuMP (SURVEY §2: "the build's hardest
-component"). It solves
+component"; the native boundary at acOptimalPowerFlow.jl:333). It solves
 
     min f(x)   s.t.  c_E(x) = 0,   c_I(x) >= 0
 
-with slacks s > 0 on the inequalities and a log-barrier, using the damped
-Newton primal-dual system condensed to the augmented form
+with slacks s > 0 on the inequalities and a log-barrier, following the
+Ipopt algorithm (Wächter & Biegler, Math. Prog. 106, 2006):
 
-    [ W + J_Iᵀ Σ J_I + δI   J_Eᵀ ] [ dx ]   [ -r_d ]
-    [ J_E                   -δc I ] [ -dy ] = [ -r_E ]
+- damped Newton on the primal-dual system condensed to the augmented form
 
-with Σ = Z S⁻¹. Derivatives (gradients, constraint Jacobians, and the exact
-Lagrangian Hessian) come from JAX autodiff; the augmented solve is the
-mixed-precision MXU path (ops/linalg.py). Fraction-to-boundary steps, an
-Armijo backtracking line search on the barrier merit function, monotone
-(Fiacco-McCormick) barrier reduction, and inertia-free δ-regularization
-escalation give Ipopt-class robustness on the power-system problems the
-test oracles cover (reference parity atol 1e-6,
-test/optimalPowerFlow/analysis.jl:9-12).
+      [ W + J_Iᵀ Σ J_I + δI   J_Eᵀ ] [ dx ]   [ -r_d ]
+      [ J_E                  -δc I ] [ -dy ] = [ -c_E ],      Σ = Z S⁻¹
+
+- **filter line search** on the pair (θ, φ) = (constraint violation,
+  barrier objective) with the switching/Armijo rule, instead of a single
+  penalty merit function — penalty parameters are what made the round-1
+  monotone scheme creep (30–60 iterations; Ipopt does ~20);
+- **second-order corrections** when the first trial step increases θ;
+- monotone Fiacco-McCormick barrier with the superlinear decrease
+  μ ← max(ε/11, min(κ_μ μ, μ^{θ_μ})) gated on the scaled KKT error;
+- inertia-free regularization: δ escalates until the condensed system has
+  positive curvature along dx and the linear solve is trustworthy;
+- a **feasibility-restoration phase** (Levenberg–Marquardt on the
+  constraint violation) entered when the backtracking trust collapses.
+
+Derivatives (gradients, constraint Jacobians, exact Lagrangian Hessian)
+come from JAX autodiff; the augmented solve is the mixed-precision MXU
+path (ops/linalg.py: f32 factorization + f64 iterative refinement), which
+is why the KKT matrix is Jacobi-equilibrated before factorization.
 
 The per-iteration step is one jitted function; the outer loop runs on host
 (tens of iterations). ``vmap`` over problem data enables batched OPF.
@@ -28,14 +38,28 @@ The per-iteration step is one jitted function; the outer loop runs on host
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import linalg
+
+# Wächter-Biegler constants (their Table 1 defaults)
+KAPPA_EPS = 10.0      # barrier decrease gate: E_mu <= KAPPA_EPS * mu
+KAPPA_MU = 0.2        # linear mu decrease factor
+THETA_MU = 1.5        # superlinear mu decrease exponent
+GAMMA_THETA = 1e-5    # filter margin on theta
+GAMMA_PHI = 1e-5      # filter margin on phi
+ETA_PHI = 1e-4        # Armijo constant
+S_THETA = 1.1         # switching-condition exponents
+S_PHI = 2.3
+DELTA_SW = 1.0        # switching-condition scale
+KAPPA_SOC = 0.99      # SOC progress requirement
+MAX_SOC = 2           # second-order corrections per iteration
+GAMMA_ALPHA = 0.05    # alpha_min safety factor
+KAPPA_SIGMA = 1e10    # dual projection band around the central path
 
 
 @dataclass
@@ -59,7 +83,7 @@ class IpmResult:
     kkt_error: float
 
 
-def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
+def _make_fns(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
     f = problem.objective
     c_e = problem.eq if m_e else (lambda x: jnp.zeros(0))
     c_i = problem.ineq if m_i else (lambda x: jnp.zeros(0))
@@ -78,47 +102,72 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
 
     hess_l = jax.hessian(lagrangian)
 
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
+    def metrics(x, s, mu):
+        """Objective, violation theta, barrier phi, raw residual vectors."""
+        fval = f(x)
+        ce = c_e(x)
+        ci = c_i(x)
+        theta = jnp.sum(jnp.abs(ce))
+        phi = fval
+        ri = ci - s
+        if m_i:
+            theta = theta + jnp.sum(jnp.abs(ri))
+            phi = phi - mu * jnp.sum(jnp.log(jnp.maximum(s, 1e-300)))
+        return fval, theta, phi, ce, ri
+
+    @jax.jit
     def kkt_error(x, y, z, s, mu):
+        """Ipopt's scaled optimality error E_mu (their eq. 5)."""
         r_d = grad_f(x)
+        dual_l1 = 0.0
         if m_e:
             r_d = r_d - jac_e(x).T @ y
+            dual_l1 = dual_l1 + jnp.sum(jnp.abs(y))
         if m_i:
             r_d = r_d - jac_i(x).T @ z
-        err = jnp.max(jnp.abs(r_d))
+            dual_l1 = dual_l1 + jnp.sum(jnp.abs(z))
+        s_max = 100.0
+        m_tot = max(m_e + m_i, 1)
+        s_d = jnp.maximum(s_max, dual_l1 / m_tot) / s_max
+        err = jnp.max(jnp.abs(r_d)) / s_d
         if m_e:
             err = jnp.maximum(err, jnp.max(jnp.abs(c_e(x))))
         if m_i:
             err = jnp.maximum(err, jnp.max(jnp.abs(c_i(x) - s)))
-            err = jnp.maximum(err, jnp.max(jnp.abs(s * z - mu)))
+            s_c = jnp.maximum(
+                s_max, jnp.sum(jnp.abs(z)) / max(m_i, 1)) / s_max
+            err = jnp.maximum(err, jnp.max(jnp.abs(s * z - mu)) / s_c)
         return err
 
     @jax.jit
-    def step(x, y, z, s, mu, delta):
-        """One damped primal-dual Newton step at barrier mu."""
+    def step(x, y, z, s, mu, delta, ce, ri):
+        """Newton step on the condensed barrier KKT system.
+
+        ``ce``/``ri`` are the equality and inequality-minus-slack residual
+        vectors used on the right-hand side; passing them in lets a
+        second-order correction reuse this exact compiled graph with the
+        Wächter-Biegler corrected residuals.
+        """
         w = hess_l(x, y, z)
         g = grad_f(x)
 
         r_d = g
         if m_e:
             je = jac_e(x)
-            ce = c_e(x)
             r_d = r_d - je.T @ y
         if m_i:
             ji = jac_i(x)
-            ci = c_i(x)
             r_d = r_d - ji.T @ z
             sigma = jnp.clip(z / s, 1e-12, 1e12)
-            # condensed: W + Jiᵀ Σ Ji ; rhs folds the barrier term
             w = w + ji.T @ (sigma[:, None] * ji)
-            # r_i: primal infeasibility of c_I - s
-            r_i = ci - s
             # folded RHS contribution:  Jiᵀ (Σ r_i + z - μ/s)
-            r_d = r_d + ji.T @ (sigma * r_i + z - mu / s)
+            r_d = r_d + ji.T @ (sigma * ri + z - mu / s)
 
         n_aug = n_x + m_e
         kkt = jnp.zeros((n_aug, n_aug))
-        kkt = kkt.at[:n_x, :n_x].set(w + delta * jnp.eye(n_x))
+        w_reg = w + delta * jnp.eye(n_x)
+        kkt = kkt.at[:n_x, :n_x].set(w_reg)
         rhs = jnp.zeros(n_aug)
         rhs = rhs.at[:n_x].set(-r_d)
         if m_e:
@@ -141,35 +190,59 @@ def _make_step(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
         dx = sol[:n_x]
         dy = -sol[n_x:] if m_e else jnp.zeros(0)
 
+        # inertia-free curvature test (Chiang & Zavala): the condensed
+        # Hessian must have positive curvature along dx, else the step can
+        # be an ascent/saddle direction and delta must grow
+        curv = dx @ (w_reg @ dx)
+
         if m_i:
-            ds = ji @ dx + r_i
+            ds = ji @ dx + ri
             dz = (mu - s * z - z * ds) / s
-            # fraction-to-boundary
-            tau = 0.995
+            tau = jnp.maximum(0.99, 1.0 - mu)
             alpha_s = jnp.min(jnp.where(ds < 0, -tau * s / ds, 1.0))
             alpha_z = jnp.min(jnp.where(dz < 0, -tau * z / dz, 1.0))
-            alpha_s = jnp.minimum(alpha_s, 1.0)
-            alpha_z = jnp.minimum(alpha_z, 1.0)
+            alpha_s = jnp.clip(alpha_s, 0.0, 1.0)
+            alpha_z = jnp.clip(alpha_z, 0.0, 1.0)
+            dphi = g @ dx - mu * jnp.sum(ds / s)
         else:
             ds = jnp.zeros(0)
             dz = jnp.zeros(0)
             alpha_s = jnp.asarray(1.0)
             alpha_z = jnp.asarray(1.0)
+            dphi = g @ dx
 
-        return dx, dy, ds, dz, alpha_s, alpha_z, lin_res
+        return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
 
     @jax.jit
-    def merit(x, s, mu, nu):
-        """Barrier merit: f - mu sum(log s) + nu * ||infeasibility||_1."""
-        val = f(x)
-        if m_i:
-            val = val - mu * jnp.sum(jnp.log(s))
-            val = val + nu * jnp.sum(jnp.abs(c_i(x) - s))
+    def resto_step(x, lam):
+        """Levenberg-Marquardt step for min ½‖c_E‖² + ½‖min(c_I,0)‖²."""
+        r_parts = []
+        j_parts = []
         if m_e:
-            val = val + nu * jnp.sum(jnp.abs(c_e(x)))
-        return val
+            r_parts.append(c_e(x))
+            j_parts.append(jac_e(x))
+        if m_i:
+            ci = c_i(x)
+            viol = jnp.minimum(ci, 0.0)
+            r_parts.append(viol)
+            j_parts.append(jnp.where((ci < 0.0)[:, None], jac_i(x), 0.0))
+        r = jnp.concatenate(r_parts)
+        jmat = jnp.concatenate(j_parts, axis=0)
+        a = jmat.T @ jmat + lam * jnp.eye(n_x)
+        g = jmat.T @ r
+        d = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(a), axis=1), 1e-12))
+        a_s = d[:, None] * a * d[None, :]
+        dx = -d * linalg.solve(linalg.factorize(a_s, linalg.LU), d * g)
+        return dx, 0.5 * (r @ r)
 
-    return step, kkt_error, merit, (c_e, c_i)
+    return step, kkt_error, metrics, resto_step, (c_e, c_i)
+
+
+def _filter_accepts(filt, theta, phi):
+    for th_f, ph_f in filt:
+        if theta >= th_f and phi >= ph_f:
+            return False
+    return True
 
 
 def solve_nlp(problem: NlpProblem, x0: np.ndarray,
@@ -182,44 +255,111 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     m_e = int(np.asarray(problem.eq(x)).shape[0]) if problem.eq else 0
     m_i = int(np.asarray(problem.ineq(x)).shape[0]) if problem.ineq else 0
 
-    # Ipopt-style gradient-based objective scaling: keep max|∇f| near 100
-    # so currency-unit cost coefficients don't swamp the KKT tolerances.
+    # Ipopt-style gradient-based scaling (their nlp_scaling_method =
+    # "gradient-based"): keep max|∇f| near 100 so currency-unit cost
+    # coefficients don't swamp the KKT tolerances, and scale every
+    # constraint row the same way — epigraph cuts and balance rows with
+    # cost-unit coefficients otherwise leave the dual residual O(1e4) and
+    # the barrier parameter permanently gated.
     g0 = np.asarray(jax.grad(problem.objective)(x))
     gmax = float(np.max(np.abs(g0))) if g0.size else 1.0
     scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
     raw_objective = problem.objective
-    if scale_f != 1.0:
+    raw_eq, raw_ineq = problem.eq, problem.ineq
+    g_e = g_i = None
+    if m_e:
+        je0 = np.asarray(jax.jacfwd(raw_eq)(x))
+        row = np.max(np.abs(je0), axis=1)
+        g_e = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+    if m_i:
+        ji0 = np.asarray(jax.jacfwd(raw_ineq)(x))
+        row = np.max(np.abs(ji0), axis=1)
+        g_i = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+    scale_rows = (g_e is not None and bool(jnp.any(g_e < 1.0))) or \
+                 (g_i is not None and bool(jnp.any(g_i < 1.0)))
+    if scale_f != 1.0 or scale_rows:
         problem = NlpProblem(
-            objective=lambda xx: scale_f * raw_objective(xx),
-            eq=problem.eq, ineq=problem.ineq)
+            objective=(lambda xx: scale_f * raw_objective(xx))
+            if scale_f != 1.0 else raw_objective,
+            eq=(lambda xx: g_e * raw_eq(xx)) if m_e else None,
+            ineq=(lambda xx: g_i * raw_ineq(xx)) if m_i else None)
 
-    step, kkt_error, merit, (c_e, c_i) = _make_step(problem, n_x, m_e, m_i)
+    step, kkt_error, metrics, resto_step, (c_e, c_i) = _make_fns(
+        problem, n_x, m_e, m_i)
+
+    # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
+    # start (MATPOWER setpoints can violate balance by tens of p.u.) pins
+    # the barrier iteration — slacks at the boundary cap every step via
+    # fraction-to-boundary while duals blow up. A cheap Levenberg-Marquardt
+    # pass on the violation first makes the barrier loop start near-feasible.
+    def _theta_of(xx):
+        t = 0.0
+        if m_e:
+            t += float(jnp.sum(jnp.abs(c_e(xx))))
+        if m_i:
+            t += float(jnp.sum(jnp.abs(jnp.minimum(c_i(xx), 0.0))))
+        return t
+
+    theta_start = _theta_of(x)
+    if (m_e or m_i) and theta_start > 1.0:
+        lam = 1e-6
+        th = theta_start
+        for _ in range(60):
+            dxr, _ = resto_step(x, lam)
+            if not bool(jnp.all(jnp.isfinite(dxr))):
+                lam *= 10.0
+                continue
+            x_try = x + dxr
+            th_try = _theta_of(x_try)
+            if th_try < th:
+                x, th = x_try, th_try
+                lam = max(lam / 3.0, 1e-10)
+                if th < 1e-6 * max(1.0, theta_start):
+                    break
+            else:
+                lam *= 10.0
+                if lam > 1e12:
+                    break
+        if verbose >= 1:
+            print(f"  ipm start-with-resto: theta {theta_start:.3e} "
+                  f"-> {th:.3e}")
 
     if m_i:
         ci0 = jnp.asarray(problem.ineq(x))
         s = jnp.maximum(ci0, 1e-2)
-        z = jnp.maximum(mu0 / s, 1e-8)
+        z = jnp.clip(mu0 / s, 1e-8, 1e6)
     else:
         s = jnp.zeros(0)
         z = jnp.zeros(0)
     y = jnp.zeros(m_e)
 
     mu = mu0
-    nu = 10.0
+    mu_min = tol / 11.0
     converged = False
     it = 0
     err = np.inf
     best = None
     stall = 0
 
+    _, theta0, _, _, _ = metrics(x, s, mu)
+    theta0 = float(theta0)
+    theta_min = 1e-4 * max(1.0, theta0)
+    theta_max = 1e4 * max(1.0, theta0)
+    # the filter starts with the theta cap (W-B eq. 25)
+    filt = [(theta_max, -np.inf)]
+    delta_last = 0.0
+    pinched = 0
+
     for it in range(1, max_iter + 1):
-        err_mu = float(kkt_error(x, y, z, s, mu))
         err = float(kkt_error(x, y, z, s, 0.0))
         if best is None or err < best[0]:
             best = (err, x, y, z, s)
             stall = 0
         else:
             stall += 1
+        if err < tol:
+            converged = True
+            break
         # Ipopt-style acceptable-level stop: degenerate active sets (e.g.
         # an optimum exactly at a piecewise-cost breakpoint) leave the KKT
         # system singular in the limit; accept the best iterate once
@@ -227,82 +367,223 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if stall >= acceptable_iter and best[0] < acceptable_tol:
             converged = True
             break
-        if verbose >= 2:
-            print(f"  ipm iter {it}: kkt={err:.3e} mu={mu:.3e}")
-        if err < tol:
+        # degenerate endgame: the barrier is at its floor, the best iterate
+        # is already acceptable, and the last step blew the error up by
+        # orders of magnitude — further Newton steps on the near-singular
+        # KKT system only thrash; return the best iterate now
+        if mu <= mu_min * 1.01 and best[0] < acceptable_tol and \
+                err > 10.0 * best[0]:
             converged = True
             break
-        if err_mu < 10 * mu:
-            mu = max(mu / 10.0, tol / 10.0)
 
-        # the l1 exactness condition requires nu > ||duals||_inf; keep it
-        # ahead of the multipliers or the line search rejects feasibility
-        # restoration steps (merit decrease in f outweighs the penalty)
-        if m_e or m_i:
-            dual_inf = 0.0
-            if m_e and y.shape[0]:
-                dual_inf = float(jnp.max(jnp.abs(y)))
-            if m_i and z.shape[0]:
-                dual_inf = max(dual_inf, float(jnp.max(jnp.abs(z))))
-            nu = max(nu, 2.0 * dual_inf + 10.0)
+        # monotone Fiacco-McCormick with superlinear decrease, gated on
+        # the mu-scaled error (W-B eq. 7); the filter resets on mu change
+        changed = False
+        while mu > mu_min and \
+                float(kkt_error(x, y, z, s, mu)) <= KAPPA_EPS * mu:
+            mu = max(mu_min, min(KAPPA_MU * mu, mu ** THETA_MU))
+            changed = True
+        if changed:
+            filt = [(theta_max, -np.inf)]
 
-        delta = 0.0
+        fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu)
+        if m_i and float(jnp.max(ri_k)) > 0.0:
+            # slack lifting: raising s_i to c_I(x)_i wherever c_I(x)_i > s_i
+            # strictly reduces both theta (|c_I - s| -> 0) and phi
+            # (-mu log s shrinks) — monotone for the filter, and it frees
+            # fraction-to-boundary steps otherwise pinned by stale slacks
+            s = jnp.where(ri_k > 0.0, s + ri_k, s)
+            z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
+            z = jnp.maximum(z, 1e-14)
+            fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu)
+        theta_k = float(theta_k)
+        phi_k = float(phi_k)
+        if verbose >= 2:
+            print(f"  ipm iter {it}: kkt={err:.3e} mu={mu:.3e} "
+                  f"theta={theta_k:.3e} phi={phi_k:.6e}")
+
+        # --- search direction with inertia-free delta escalation ---------
+        delta = 0.0 if delta_last == 0.0 else max(1e-20, delta_last / 3.0)
+        ok = False
+        for attempt in range(30):
+            out = step(x, y, z, s, mu, delta, ce_k, ri_k)
+            dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi = out
+            dxn = float(dx @ dx)
+            ok = bool(jnp.all(jnp.isfinite(dx))) \
+                and float(lin_res) < 1e-6 \
+                and (float(curv) >= 1e-12 * dxn or dxn == 0.0)
+            if ok:
+                break
+            delta = 1e-8 * max(1.0, float(jnp.max(jnp.abs(x)))) \
+                if delta == 0.0 else delta * 8.0
+        delta_last = delta
+        if not ok:
+            break  # no factorizable system; return best iterate
+
+        dphi = float(dphi)
+        alpha_max = float(alpha_s)
+
+        # minimum trial step before feasibility restoration (W-B eq. 23)
+        if dphi < 0.0:
+            cands = [GAMMA_THETA]
+            if theta_k > 0:
+                cands.append(GAMMA_PHI * theta_k / (-dphi))
+            if theta_k <= theta_min:
+                cands.append(DELTA_SW * theta_k ** S_THETA
+                             / (-dphi) ** S_PHI)
+            alpha_min = GAMMA_ALPHA * min(cands)
+        else:
+            alpha_min = GAMMA_ALPHA * GAMMA_THETA
+        alpha_min = min(alpha_min, alpha_max)
+
+        # --- filter backtracking line search ------------------------------
+        alpha = alpha_max
         accepted = False
-        for attempt in range(12):
-            dx, dy, ds, dz, alpha_s, alpha_z = 0, 0, 0, 0, 0, 0
-            out = step(x, y, z, s, mu, delta)
-            dx, dy, ds, dz, alpha_s, alpha_z, lin_res = out
-            solver_ok = bool(jnp.all(jnp.isfinite(dx))) \
-                and float(lin_res) < 1e-6
-            if solver_ok:
-                # backtrack on the merit function; a step is also acceptable
-                # if it reduces the (mu-)KKT error — merit can stagnate at
-                # round-off while the KKT error still shrinks
-                m0 = float(merit(x, s, mu, nu))
-                alpha = float(alpha_s)
-                for halving in range(20):
-                    x_t = x + alpha * dx
-                    s_t = jnp.maximum(s + alpha * ds, 1e-14) if m_i else s
-                    m_t = float(merit(x_t, s_t, mu, nu))
-                    if np.isfinite(m_t) and \
-                            m_t <= m0 + 1e-6 * max(1.0, abs(m0)):
+        f_type = False
+        soc_done = 0
+        dx_t, ds_t = dx, ds
+        while True:
+            x_t = x + alpha * dx_t
+            s_t = jnp.maximum(s + alpha * ds_t, 1e-300) if m_i else s
+            _, theta_t, phi_t, ce_t, ri_t = metrics(x_t, s_t, mu)
+            theta_t = float(theta_t)
+            phi_t = float(phi_t)
+            if np.isfinite(theta_t) and np.isfinite(phi_t) and \
+                    _filter_accepts(filt, theta_t, phi_t):
+                switching = dphi < 0.0 and \
+                    alpha * (-dphi) ** S_PHI > DELTA_SW * theta_k ** S_THETA
+                if theta_k <= theta_min and switching:
+                    if phi_t <= phi_k + ETA_PHI * alpha * dphi:
+                        accepted, f_type = True, True
+                        break
+                else:
+                    if theta_t <= (1.0 - GAMMA_THETA) * theta_k or \
+                            phi_t <= phi_k - GAMMA_PHI * theta_k:
                         accepted = True
                         break
-                    z_t = z + alpha * dz if m_i else z
-                    e_t = float(kkt_error(x_t, y + alpha * dy
-                                          if m_e else y,
-                                          jnp.maximum(z_t, 1e-14), s_t, mu))
-                    if np.isfinite(e_t) and e_t <= err_mu * (1 - 1e-4 * alpha):
-                        accepted = True
-                        break
-                    alpha *= 0.5
-                if accepted:
-                    break
-            delta = 1e-8 if delta == 0.0 else delta * 100.0
-        if not accepted:
-            break  # no productive step available; return best iterate
+            # second-order correction: only from the full step, only while
+            # the violation keeps shrinking (W-B §2.4)
+            if alpha == alpha_max and soc_done < MAX_SOC and m_e + m_i and \
+                    np.isfinite(theta_t) and theta_t >= theta_k:
+                ce_soc = alpha * ce_k + ce_t if m_e else ce_k
+                ri_soc = alpha * ri_k + ri_t if m_i else ri_k
+                out = step(x, y, z, s, mu, delta, ce_soc, ri_soc)
+                dx_c, _, ds_c, _, alpha_s_c, _, lin_res_c, _, _ = out
+                if bool(jnp.all(jnp.isfinite(dx_c))) and \
+                        float(lin_res_c) < 1e-6:
+                    soc_done += 1
+                    dx_t, ds_t = dx_c, ds_c
+                    alpha = alpha_max = min(alpha_max, float(alpha_s_c))
+                    continue
+                soc_done = MAX_SOC
+            if soc_done and (dx_t is not dx):
+                # SOC trial failed: fall back to the uncorrected direction
+                dx_t, ds_t = dx, ds
+                alpha = alpha_max = float(alpha_s)
+                soc_done = MAX_SOC
+                continue
+            alpha *= 0.5
+            if alpha < alpha_min:
+                break
 
-        x = x + alpha * dx
+        # pinch detection: steps capped hard by the boundary while the
+        # violation stalls mean the Newton direction cannot mend the
+        # infeasibility (a violated row's slack squeezed to ~0 caps every
+        # fraction-to-boundary step) — restoration mends it directly
+        if accepted and theta_k > max(10.0 * tol, 1e-8) and \
+                alpha_max < 5e-2 and theta_t > 0.9 * theta_k:
+            pinched += 1
+            if pinched >= 4:
+                accepted = False
+                pinched = 0
+        else:
+            pinched = 0
+
+        if not accepted:
+            # --- feasibility restoration (LM on the violation) ----------
+            if theta_k <= max(10.0 * tol, 1e-8) and best is not None:
+                break  # feasible yet unsteppable: return best
+            if verbose >= 2:
+                print(f"      -> restoration from theta={theta_k:.3e}")
+            lam = 1e-6
+            x_r = x
+            theta_r = theta_k
+            improved = False
+            for _ in range(40):
+                dxr, half_sq = resto_step(x_r, lam)
+                if not bool(jnp.all(jnp.isfinite(dxr))):
+                    lam *= 10.0
+                    continue
+                x_try = x_r + dxr
+                s_try = jnp.maximum(jnp.asarray(c_i(x_try)), mu) \
+                    if m_i else s
+                _, theta_try, phi_try, _, _ = metrics(x_try, s_try, mu)
+                theta_try = float(theta_try)
+                if theta_try < theta_r:
+                    x_r, theta_r = x_try, theta_try
+                    lam = max(lam / 3.0, 1e-10)
+                    if theta_r <= max(0.9 * theta_k,
+                                      (1.0 - GAMMA_THETA) * theta_k) and \
+                            _filter_accepts(filt, theta_r,
+                                            float(phi_try)):
+                        improved = True
+                        break
+                else:
+                    lam *= 10.0
+                    if lam > 1e12:
+                        break
+            if not improved:
+                if verbose >= 2:
+                    print(f"      -> restoration failed at "
+                          f"theta={theta_r:.3e} lam={lam:.1e}")
+                break  # infeasible or stuck: return best iterate
+            # re-enter the barrier loop from the restored point
+            filt.append(((1.0 - GAMMA_THETA) * theta_k,
+                         phi_k - GAMMA_PHI * theta_k))
+            x = x_r
+            if m_i:
+                ci_r = jnp.asarray(c_i(x))
+                s = jnp.maximum(ci_r, mu)
+                z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
+                z = jnp.maximum(z, 1e-14)
+            continue
+
+        if verbose >= 3:
+            print(f"      alpha={alpha:.3e} alpha_max={alpha_max:.3e} "
+                  f"delta={delta:.1e} dphi={dphi:.3e} soc={soc_done} "
+                  f"theta_t={theta_t:.3e}")
+        # --- accept ------------------------------------------------------
+        if not f_type:
+            filt.append(((1.0 - GAMMA_THETA) * theta_k,
+                         phi_k - GAMMA_PHI * theta_k))
+        x = x + alpha * dx_t
         if m_e:
-            y = y + min(1.0, alpha) * dy
+            y = y + alpha * dy
         if m_i:
-            s = s + alpha * ds
+            s = jnp.maximum(s + alpha * ds_t, 1e-300)
             z = z + float(alpha_z) * dz
-            s = jnp.maximum(s, 1e-14)
-            # kappa_Sigma safeguard (tightened): project duals into a band
-            # around the central path z ~ mu/s. Weakly-active constraints
-            # otherwise shoot z up by ~mu/s^2 on barrier reductions, which
-            # the merit function cannot see (it has no dual term).
-            kappa = 1e4
-            z = jnp.clip(z, mu / (kappa * s), kappa * mu / s)
+            # kappa_Sigma safeguard: project duals into a band around the
+            # central path z ~ mu/s (W-B eq. 16). Weakly-active constraints
+            # otherwise shoot z up by ~mu/s^2 on barrier reductions.
+            z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
             z = jnp.maximum(z, 1e-14)
 
     if best is not None and best[0] < err:
         err, x, y, z, s = best
         converged = converged or err < tol
+    # un-scale the duals: min σf s.t. Gc(x) = 0 has multipliers Gỹ/σ for
+    # the original constraints (stationarity σ∇f = JᵀGỹ + ...)
     inv = 1.0 / scale_f
+    y_out = np.asarray(y) * inv
+    z_out = np.asarray(z) * inv
+    s_out = np.asarray(s)
+    if m_e and g_e is not None:
+        y_out = y_out * np.asarray(g_e)
+    if m_i and g_i is not None:
+        z_out = z_out * np.asarray(g_i)
+        s_out = s_out / np.asarray(g_i)
     return IpmResult(
-        x=np.asarray(x), y=np.asarray(y) * inv, z=np.asarray(z) * inv,
-        s=np.asarray(s),
+        x=np.asarray(x), y=y_out, z=z_out,
+        s=s_out,
         objective=float(raw_objective(x)),
         converged=converged, iterations=it, kkt_error=float(err))

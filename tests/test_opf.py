@@ -27,6 +27,23 @@ def test_dc_opf_matpower(data_path, case):
                                golden["generator"], atol=1e-6)
 
 
+def test_ac_opf_ipopt_class_iterations(data_path):
+    """The filter-line-search IPM matches Ipopt's iteration class (~20)
+    on the AC OPF oracles — including case30test, whose fixed-Q
+    generators (Qmin == Qmax) require the fixed-output equality
+    treatment (reference: Ipopt via JuMP at acOptimalPowerFlow.jl:333,
+    exercised on system30 at test/optimalPowerFlow/analysis.jl:445)."""
+    for case, obj in (("case14optimal", 95587.8394), ("case30test", None)):
+        system = jg.power_system(str(data_path / f"{case}.m"))
+        analysis = ac_optimal_power_flow(system)
+        ac_solve(analysis)
+        assert analysis.method.converged, case
+        assert analysis.method.iteration <= 25, (
+            case, analysis.method.iteration)
+        if obj is not None:
+            assert abs(analysis.method.objective - obj) < 1e-2
+
+
 def test_ac_opf_matpower(data_path):
     system = jg.power_system(str(data_path / "case14optimal.m"))
     golden = h5group(data_path / "results.h5",
