@@ -4,6 +4,8 @@ from .acopf import AcOptimalPowerFlow, ac_optimal_power_flow
 from .acopf import solve as _solve_ac
 from .dcopf import DcOptimalPowerFlow, dc_optimal_power_flow
 from .dcopf import solve as _solve_dc
+from .edit import (fix, remove_constraint, set_bound, unfix, update_cost,
+                   update_demand)
 
 
 def solve_opf(analysis, **kwargs):

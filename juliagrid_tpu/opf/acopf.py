@@ -19,7 +19,7 @@ Hessian to the IPM (opf/ipm.py).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +62,51 @@ class AcOptimalPowerFlow:
             self.signature = {"key": key}
 
 
+class AcParams(NamedTuple):
+    """Numeric model data threaded through the IPM as a runtime pytree.
+
+    Everything a live edit can change without altering the constraint
+    *structure* lives here (bounds, cost coefficients, demands, Y-bus
+    values, flow/angle limits); the structure (index arrays, masks, row
+    counts) stays baked into the trace. Editing a field re-solves against
+    the same compiled step functions — the analogue of the reference
+    patching its live JuMP model (optimalPowerFlow/utility.jl:525-700)
+    instead of rebuilding it.
+    """
+
+    yg: object          # Y-bus entry values (pattern static)
+    yb: object
+    pd: object          # bus demand
+    qd: object
+    slack_angle: object
+    fixv_b: object      # fixed-variable values (equality rows)
+    fixp_b: object
+    fixq_b: object
+    vlo_b: object       # simple-bound values
+    vhi_b: object
+    plo_b: object
+    phi_b: object
+    qlo_b: object
+    qhi_b: object
+    cc_aq: object       # capability-curve cut coefficients
+    cc_ap: object
+    cc_b: object
+    fl_lo: object       # flow limits (already squared where applicable)
+    fl_hi: object
+    an_lo: object       # angle-difference limits
+    an_hi: object
+    yff: object         # branch two-port admittances for flow expressions
+    yft: object
+    ytf: object
+    ytt: object
+    pwp_slope: object   # piecewise epigraph cut data
+    pwp_icept: object
+    pwq_slope: object
+    pwq_icept: object
+    poly_co: object     # tuple of cost-coefficient arrays, one per group
+    obj_const: object
+
+
 class _AcSpec:
     def __init__(self, system: PowerSystem):
         model(system, "ac")
@@ -77,11 +122,11 @@ class _AcSpec:
         order = np.lexsort((coo.col, coo.row))
         self.rows = jnp.asarray(coo.row[order].astype(np.int32))
         self.cols = jnp.asarray(coo.col[order].astype(np.int32))
-        self.yg = jnp.asarray(coo.data[order].real)
-        self.yb = jnp.asarray(coo.data[order].imag)
+        self.yg = np.asarray(coo.data[order].real)
+        self.yb = np.asarray(coo.data[order].imag)
 
-        self.pd = jnp.asarray(bus.demand.active.array[:n])
-        self.qd = jnp.asarray(bus.demand.reactive.array[:n])
+        self.pd = np.asarray(bus.demand.active.array[:n]).copy()
+        self.qd = np.asarray(bus.demand.reactive.array[:n]).copy()
         self.gen_bus = jnp.asarray(gen.layout.bus.array[:g].astype(np.int32))
         self.gen_on = gen.layout.status.array[:g] == 1
 
@@ -274,6 +319,13 @@ class _AcSpec:
         self.br_ytf = ac.nodal_to_from
         self.br_ytt = ac.nodal_to_to
 
+        self._finalize()
+
+    def _finalize(self):
+        """Re-derive the vectorized constraint arrays, tag list, and
+        params pytree from the bookkeeping lists. Called at build time
+        and after structural live edits (opf/edit.py) -- O(constraints)
+        numpy work, no system scan."""
         # ---- vectorized constraint arrays (traced fns must be loop-free:
         # a per-element Python ineq() at pegase scale produces a ~10k-op
         # XLA graph whose compile blows up) -------------------------------
@@ -338,6 +390,9 @@ class _AcSpec:
         self.poly_groups = {
             key: (np.asarray(idx, dtype=np.int64), np.asarray(co))
             for key, (idx, co) in self.poly_groups.items()}
+        self.poly_keys = list(self.poly_groups.keys())
+        self.poly_idx = [self.poly_groups[k][0] for k in self.poly_keys]
+        self.poly_co = [self.poly_groups[k][1] for k in self.poly_keys]
 
         # rebuild the tag list in the grouped emit order of ineq()
         tags = []
@@ -359,6 +414,28 @@ class _AcSpec:
         tags += [("piecewise_active", int(gi)) for gi in self.pwp[0]]
         tags += [("piecewise_reactive", int(gi)) for gi in self.pwq[0]]
         self.ineq_tags = tags
+        self.params = self._make_params()
+
+    def _make_params(self) -> AcParams:
+        j = jnp.asarray
+        return AcParams(
+            yg=j(self.yg), yb=j(self.yb), pd=j(self.pd), qd=j(self.qd),
+            slack_angle=j(self.slack_angle),
+            fixv_b=j(self.fixv_b), fixp_b=j(self.fixp_b),
+            fixq_b=j(self.fixq_b),
+            vlo_b=j(self.vlo_b), vhi_b=j(self.vhi_b),
+            plo_b=j(self.plo_b), phi_b=j(self.phi_b),
+            qlo_b=j(self.qlo_b), qhi_b=j(self.qhi_b),
+            cc_aq=j(self.cc_aq), cc_ap=j(self.cc_ap), cc_b=j(self.cc_b),
+            fl_lo=j(self.fl_lo), fl_hi=j(self.fl_hi),
+            an_lo=j(self.an_lo), an_hi=j(self.an_hi),
+            yff=j(self.br_yff), yft=j(self.br_yft),
+            ytf=j(self.br_ytf), ytt=j(self.br_ytt),
+            pwp_slope=j(self.pwp[2]), pwp_icept=j(self.pwp[3]),
+            pwq_slope=j(self.pwq[2]), pwq_icept=j(self.pwq[3]),
+            poly_co=tuple(j(co) for co in self.poly_co),
+            obj_const=j(float(self.obj_const)),
+        )
 
     def push_inside(self, x0):
         """Project the start strictly inside the simple-bound constraints
@@ -434,25 +511,26 @@ class _AcSpec:
         hq = x[2 * n + 2 * g + self.n_hp:]
         return theta, v, pg, qg, hp, hq
 
-    def _injections(self, theta, v):
+    def _injections(self, theta, v, p):
         vi = v[self.rows]
         vj = v[self.cols]
         th = theta[self.rows] - theta[self.cols]
-        t1 = vi * vj * (self.yg * jnp.cos(th) + self.yb * jnp.sin(th))
-        t2 = vi * vj * (self.yg * jnp.sin(th) - self.yb * jnp.cos(th))
+        t1 = vi * vj * (p.yg * jnp.cos(th) + p.yb * jnp.sin(th))
+        t2 = vi * vj * (p.yg * jnp.sin(th) - p.yb * jnp.cos(th))
         import jax
         p = jax.ops.segment_sum(t1, self.rows, num_segments=self.n)
         q = jax.ops.segment_sum(t2, self.rows, num_segments=self.n)
         return p, q
 
-    def objective(self, x):
+    def objective(self, x, p):
         theta, v, pg, qg, hp, hq = self.split(x)
-        val = self.obj_const
-        for (kind, deg), (idx, co) in self.poly_groups.items():
-            p = pg[idx] if kind == "p" else qg[idx]
-            acc = jnp.zeros_like(p)
+        val = p.obj_const
+        for (kind, deg), idx, co in zip(self.poly_keys, self.poly_idx,
+                                        p.poly_co):
+            pq = pg[idx] if kind == "p" else qg[idx]
+            acc = jnp.zeros_like(pq)
             for j in range(deg + 1):  # Horner over the shared degree
-                acc = acc * p + co[:, j]
+                acc = acc * pq + co[:, j]
             val = val + jnp.sum(acc)
         if self.n_hp:
             val = val + jnp.sum(hp)
@@ -460,38 +538,38 @@ class _AcSpec:
             val = val + jnp.sum(hq)
         return val
 
-    def eq(self, x):
+    def eq(self, x, p):
         theta, v, pg, qg, hp, hq = self.split(x)
-        p_inj, q_inj = self._injections(theta, v)
+        p_inj, q_inj = self._injections(theta, v, p)
         on = jnp.asarray(self.gen_on)
         sup_p = jnp.zeros(self.n).at[self.gen_bus].add(
             jnp.where(on, pg, 0.0))
         sup_q = jnp.zeros(self.n).at[self.gen_bus].add(
             jnp.where(on, qg, 0.0))
-        out = [sup_p - p_inj - self.pd,
-               sup_q - q_inj - self.qd,
-               jnp.array([theta[self.slack] - self.slack_angle])]
+        out = [sup_p - p_inj - p.pd,
+               sup_q - q_inj - p.qd,
+               jnp.reshape(theta[self.slack] - p.slack_angle, (1,))]
         off_idx = np.flatnonzero(~self.gen_on)
         if len(off_idx):
             out.append(pg[off_idx])
             out.append(qg[off_idx])
         if len(self.fixv_i):
-            out.append(v[self.fixv_i] - self.fixv_b)
+            out.append(v[self.fixv_i] - p.fixv_b)
         if len(self.fixp_i):
-            out.append(pg[self.fixp_i] - self.fixp_b)
+            out.append(pg[self.fixp_i] - p.fixp_b)
         if len(self.fixq_i):
-            out.append(qg[self.fixq_i] - self.fixq_b)
+            out.append(qg[self.fixq_i] - p.fixq_b)
         return jnp.concatenate(out)
 
-    def _flow_values(self, theta, v):
+    def _flow_values(self, theta, v, p):
         """Vectorized flow-constraint values over all constrained rows."""
         fb, tb = self.fl_fb, self.fl_tb
         vf = v[fb] * jnp.exp(1j * theta[fb])
         vt = v[tb] * jnp.exp(1j * theta[tb])
-        yff = jnp.asarray(self.br_yff)[self.fl_k]
-        yft = jnp.asarray(self.br_yft)[self.fl_k]
-        ytf = jnp.asarray(self.br_ytf)[self.fl_k]
-        ytt = jnp.asarray(self.br_ytt)[self.fl_k]
+        yff = p.yff[self.fl_k]
+        yft = p.yft[self.fl_k]
+        ytf = p.ytf[self.fl_k]
+        ytt = p.ytt[self.fl_k]
         is_from = jnp.asarray(self.fl_from)
         i_ = jnp.where(is_from, vf * yff + vt * yft, vf * ytf + vt * ytt)
         s = jnp.where(is_from, vf, vt) * jnp.conj(i_)
@@ -507,28 +585,29 @@ class _AcSpec:
             [p, sqrt_s, s2, sqrt_i], i2)
         return val
 
-    def ineq(self, x):
+    def ineq(self, x, p):
         theta, v, pg, qg, hp, hq = self.split(x)
-        out = [v[self.vlo_i] - self.vlo_b,
-               self.vhi_b - v[self.vhi_i],
-               pg[self.plo_i] - self.plo_b,
-               self.phi_b - pg[self.phi_i],
-               qg[self.qlo_i] - self.qlo_b,
-               self.qhi_b - qg[self.qhi_i],
-               self.cc_b - self.cc_aq * pg[self.cc_i]
-               - self.cc_ap * qg[self.cc_i]]
+        out = [v[self.vlo_i] - p.vlo_b,
+               p.vhi_b - v[self.vhi_i],
+               pg[self.plo_i] - p.plo_b,
+               p.phi_b - pg[self.phi_i],
+               qg[self.qlo_i] - p.qlo_b,
+               p.qhi_b - qg[self.qhi_i],
+               p.cc_b - p.cc_aq * pg[self.cc_i]
+               - p.cc_ap * qg[self.cc_i]]
         if len(self.fl_k):
-            val = self._flow_values(theta, v)
-            out.append((val - self.fl_lo)[self.fl_has_lo])
-            out.append((self.fl_hi - val)[self.fl_has_hi])
+            val = self._flow_values(theta, v, p)
+            out.append((val - p.fl_lo)[self.fl_has_lo])
+            out.append((p.fl_hi - val)[self.fl_has_hi])
         if len(self.an_f):
             diff = theta[self.an_f] - theta[self.an_t]
-            out.append(diff - self.an_lo)
-            out.append(self.an_hi - diff)
-        for cuts, h, pq in ((self.pwp, hp, pg), (self.pwq, hq, qg)):
-            gi, hpos, slope, icept = cuts
+            out.append(diff - p.an_lo)
+            out.append(p.an_hi - diff)
+        for (gi, hpos, _sl, _ic), sl, ic, h, pq in (
+                (self.pwp, p.pwp_slope, p.pwp_icept, hp, pg),
+                (self.pwq, p.pwq_slope, p.pwq_icept, hq, qg)):
             if len(gi):
-                out.append(icept - slope * pq[gi] + h[hpos])
+                out.append(ic - sl * pq[gi] + h[hpos])
         out = [jnp.asarray(o) for o in out]
         out = [o for o in out if o.shape[0]]
         if not out:
@@ -571,11 +650,16 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
     analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
-    has_ineq = spec.ineq(jnp_.asarray(analysis._x0)) is not None
+    has_ineq = spec.ineq(jnp_.asarray(analysis._x0), spec.params) is not None
     problem = NlpProblem(objective=spec.objective, eq=spec.eq,
-                         ineq=spec.ineq if has_ineq else None)
+                         ineq=spec.ineq if has_ineq else None,
+                         params=spec.params)
+    warm = None
+    prev = getattr(analysis.method, "result", None)
+    if getattr(analysis, "_carry_duals", False) and prev is not None:
+        warm = (prev.y, prev.z, prev.s)
     res = solve_nlp(problem, analysis._x0, max_iter=max_iter, tol=tolerance,
-                    verbose=verbose)
+                    verbose=verbose, warm_duals=warm)
     analysis.method.result = res
     analysis.method.iteration = res.iterations
     analysis.method.converged = res.converged

@@ -96,6 +96,16 @@ def solve_extended(analysis, max_iter: int = 300, tolerance: float = 1e-8,
     spec = analysis._spec
     ext = _ext(analysis)
 
+    if isinstance(analysis, AcOptimalPowerFlow):
+        # AC spec functions take (x, params); bake the current params in —
+        # the extended path retraces per solve like the reference rebuilds
+        prm = spec.params
+        base_obj = lambda xb: spec.objective(xb, prm)  # noqa: E731
+        base_eq = lambda xb: spec.eq(xb, prm)          # noqa: E731
+        base_ineq = lambda xb: spec.ineq(xb, prm)      # noqa: E731
+    else:
+        base_obj, base_eq, base_ineq = spec.objective, spec.eq, spec.ineq
+
     base_n = spec.n_x
     offsets = {}
     pos = base_n
@@ -113,7 +123,7 @@ def solve_extended(analysis, max_iter: int = 300, tolerance: float = 1e-8,
 
     def objective(x):
         xb, vals = split_user(x)
-        val = spec.objective(xb)
+        val = base_obj(xb)
         view = _state_view(analysis, spec, xb, vals)
         for fn in ext.objectives:
             val = val + fn(view)
@@ -121,7 +131,7 @@ def solve_extended(analysis, max_iter: int = 300, tolerance: float = 1e-8,
 
     def eq(x):
         xb, vals = split_user(x)
-        out = [spec.eq(xb)]
+        out = [base_eq(xb)]
         view = _state_view(analysis, spec, xb, vals)
         for fn, kind in ext.constraints:
             if kind == "eq":
@@ -130,7 +140,7 @@ def solve_extended(analysis, max_iter: int = 300, tolerance: float = 1e-8,
 
     def ineq(x):
         xb, vals = split_user(x)
-        base = spec.ineq(xb)
+        base = base_ineq(xb)
         out = [base] if base is not None else []
         view = _state_view(analysis, spec, xb, vals)
         for fn, kind in ext.constraints:

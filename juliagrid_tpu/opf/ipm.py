@@ -64,11 +64,21 @@ KAPPA_SIGMA = 1e10    # dual projection band around the central path
 
 @dataclass
 class NlpProblem:
-    """Problem functions (all jax-traceable, x is a flat f64 vector)."""
+    """Problem functions (all jax-traceable, x is a flat f64 vector).
 
-    objective: Callable            # x -> scalar
+    When ``params`` is set, the three callables take ``(x, params)`` and
+    the params pytree is threaded through every jitted function as a
+    runtime argument instead of being baked into the trace as constants.
+    Numeric model edits (bounds, cost coefficients, demands) then re-solve
+    with an XLA compile-cache hit — the live-edit economics of the
+    reference's JuMP model patching (optimalPowerFlow/utility.jl:525-700)
+    without rebuilding or recompiling anything.
+    """
+
+    objective: Callable            # x -> scalar, or (x, p) -> scalar
     eq: Optional[Callable] = None  # x -> (mE,) residuals, target 0
     ineq: Optional[Callable] = None  # x -> (mI,) values, constraint >= 0
+    params: Optional[object] = None  # pytree threaded as runtime arg
 
 
 @dataclass
@@ -83,31 +93,34 @@ class IpmResult:
     kkt_error: float
 
 
-def _make_fns(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
-    f = problem.objective
-    c_e = problem.eq if m_e else (lambda x: jnp.zeros(0))
-    c_i = problem.ineq if m_i else (lambda x: jnp.zeros(0))
+def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
+    """All of ``f``/``c_e``/``c_i`` take ``(x, p)`` with ``p`` a runtime
+    params pytree (possibly an empty tuple)."""
+    if not m_e:
+        c_e = lambda x, p: jnp.zeros(0)  # noqa: E731
+    if not m_i:
+        c_i = lambda x, p: jnp.zeros(0)  # noqa: E731
 
     grad_f = jax.grad(f)
     jac_e = jax.jacfwd(c_e)
     jac_i = jax.jacfwd(c_i)
 
-    def lagrangian(x, y, z):
-        val = f(x)
+    def lagrangian(x, y, z, p):
+        val = f(x, p)
         if m_e:
-            val = val - y @ c_e(x)
+            val = val - y @ c_e(x, p)
         if m_i:
-            val = val - z @ c_i(x)
+            val = val - z @ c_i(x, p)
         return val
 
     hess_l = jax.hessian(lagrangian)
 
     @jax.jit
-    def metrics(x, s, mu):
+    def metrics(x, s, mu, p):
         """Objective, violation theta, barrier phi, raw residual vectors."""
-        fval = f(x)
-        ce = c_e(x)
-        ci = c_i(x)
+        fval = f(x, p)
+        ce = c_e(x, p)
+        ci = c_i(x, p)
         theta = jnp.sum(jnp.abs(ce))
         phi = fval
         ri = ci - s
@@ -117,31 +130,31 @@ def _make_fns(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
         return fval, theta, phi, ce, ri
 
     @jax.jit
-    def kkt_error(x, y, z, s, mu):
+    def kkt_error(x, y, z, s, mu, p):
         """Ipopt's scaled optimality error E_mu (their eq. 5)."""
-        r_d = grad_f(x)
+        r_d = grad_f(x, p)
         dual_l1 = 0.0
         if m_e:
-            r_d = r_d - jac_e(x).T @ y
+            r_d = r_d - jac_e(x, p).T @ y
             dual_l1 = dual_l1 + jnp.sum(jnp.abs(y))
         if m_i:
-            r_d = r_d - jac_i(x).T @ z
+            r_d = r_d - jac_i(x, p).T @ z
             dual_l1 = dual_l1 + jnp.sum(jnp.abs(z))
         s_max = 100.0
         m_tot = max(m_e + m_i, 1)
         s_d = jnp.maximum(s_max, dual_l1 / m_tot) / s_max
         err = jnp.max(jnp.abs(r_d)) / s_d
         if m_e:
-            err = jnp.maximum(err, jnp.max(jnp.abs(c_e(x))))
+            err = jnp.maximum(err, jnp.max(jnp.abs(c_e(x, p))))
         if m_i:
-            err = jnp.maximum(err, jnp.max(jnp.abs(c_i(x) - s)))
+            err = jnp.maximum(err, jnp.max(jnp.abs(c_i(x, p) - s)))
             s_c = jnp.maximum(
                 s_max, jnp.sum(jnp.abs(z)) / max(m_i, 1)) / s_max
             err = jnp.maximum(err, jnp.max(jnp.abs(s * z - mu)) / s_c)
         return err
 
     @jax.jit
-    def step(x, y, z, s, mu, delta, ce, ri):
+    def step(x, y, z, s, mu, delta, ce, ri, p):
         """Newton step on the condensed barrier KKT system.
 
         ``ce``/``ri`` are the equality and inequality-minus-slack residual
@@ -149,15 +162,15 @@ def _make_fns(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
         second-order correction reuse this exact compiled graph with the
         Wächter-Biegler corrected residuals.
         """
-        w = hess_l(x, y, z)
-        g = grad_f(x)
+        w = hess_l(x, y, z, p)
+        g = grad_f(x, p)
 
         r_d = g
         if m_e:
-            je = jac_e(x)
+            je = jac_e(x, p)
             r_d = r_d - je.T @ y
         if m_i:
-            ji = jac_i(x)
+            ji = jac_i(x, p)
             r_d = r_d - ji.T @ z
             sigma = jnp.clip(z / s, 1e-12, 1e12)
             w = w + ji.T @ (sigma[:, None] * ji)
@@ -214,18 +227,18 @@ def _make_fns(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
         return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
 
     @jax.jit
-    def resto_step(x, lam):
+    def resto_step(x, lam, p):
         """Levenberg-Marquardt step for min ½‖c_E‖² + ½‖min(c_I,0)‖²."""
         r_parts = []
         j_parts = []
         if m_e:
-            r_parts.append(c_e(x))
-            j_parts.append(jac_e(x))
+            r_parts.append(c_e(x, p))
+            j_parts.append(jac_e(x, p))
         if m_i:
-            ci = c_i(x)
+            ci = c_i(x, p)
             viol = jnp.minimum(ci, 0.0)
             r_parts.append(viol)
-            j_parts.append(jnp.where((ci < 0.0)[:, None], jac_i(x), 0.0))
+            j_parts.append(jnp.where((ci < 0.0)[:, None], jac_i(x, p), 0.0))
         r = jnp.concatenate(r_parts)
         jmat = jnp.concatenate(j_parts, axis=0)
         a = jmat.T @ jmat + lam * jnp.eye(n_x)
@@ -248,12 +261,30 @@ def _filter_accepts(filt, theta, phi):
 def solve_nlp(problem: NlpProblem, x0: np.ndarray,
               max_iter: int = 200, tol: float = 1e-8,
               acceptable_tol: float = 1e-6, acceptable_iter: int = 25,
-              mu0: float = 0.1, verbose: int = 0) -> IpmResult:
-    """Outer IPM driver (host loop over jitted steps)."""
+              mu0: float = 0.1, verbose: int = 0,
+              warm_duals: Optional[tuple] = None) -> IpmResult:
+    """Outer IPM driver (host loop over jitted steps).
+
+    ``warm_duals`` is an optional ``(y, z, s)`` triple from a previous
+    solve of the same-shaped problem (the reference's ``setdual``/
+    ``transferdual!`` carry, optimalPowerFlow/utility.jl:417-691): the
+    equality duals seed y directly and the inequality duals/slacks are
+    projected into the central-path band for the starting barrier.
+    """
     x = jnp.asarray(np.asarray(x0, dtype=np.float64))
     n_x = x.shape[0]
-    m_e = int(np.asarray(problem.eq(x)).shape[0]) if problem.eq else 0
-    m_i = int(np.asarray(problem.ineq(x)).shape[0]) if problem.ineq else 0
+    if problem.params is not None:
+        p = problem.params
+        f_raw = problem.objective
+        eq_raw, ineq_raw = problem.eq, problem.ineq
+    else:
+        p = ()
+        f_raw = lambda xx, pp: problem.objective(xx)  # noqa: E731
+        eq_raw = (lambda xx, pp: problem.eq(xx)) if problem.eq else None
+        ineq_raw = (lambda xx, pp: problem.ineq(xx)) if problem.ineq \
+            else None
+    m_e = int(np.asarray(eq_raw(x, p)).shape[0]) if eq_raw else 0
+    m_i = int(np.asarray(ineq_raw(x, p)).shape[0]) if ineq_raw else 0
 
     # Ipopt-style gradient-based scaling (their nlp_scaling_method =
     # "gradient-based"): keep max|∇f| near 100 so currency-unit cost
@@ -261,31 +292,35 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # constraint row the same way — epigraph cuts and balance rows with
     # cost-unit coefficients otherwise leave the dual residual O(1e4) and
     # the barrier parameter permanently gated.
-    g0 = np.asarray(jax.grad(problem.objective)(x))
+    g0 = np.asarray(jax.grad(f_raw)(x, p))
     gmax = float(np.max(np.abs(g0))) if g0.size else 1.0
     scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
-    raw_objective = problem.objective
-    raw_eq, raw_ineq = problem.eq, problem.ineq
     g_e = g_i = None
     if m_e:
-        je0 = np.asarray(jax.jacfwd(raw_eq)(x))
+        je0 = np.asarray(jax.jacfwd(eq_raw)(x, p))
         row = np.max(np.abs(je0), axis=1)
         g_e = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
     if m_i:
-        ji0 = np.asarray(jax.jacfwd(raw_ineq)(x))
+        ji0 = np.asarray(jax.jacfwd(ineq_raw)(x, p))
         row = np.max(np.abs(ji0), axis=1)
         g_i = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
-    scale_rows = (g_e is not None and bool(jnp.any(g_e < 1.0))) or \
-                 (g_i is not None and bool(jnp.any(g_i < 1.0)))
-    if scale_f != 1.0 or scale_rows:
-        problem = NlpProblem(
-            objective=(lambda xx: scale_f * raw_objective(xx))
-            if scale_f != 1.0 else raw_objective,
-            eq=(lambda xx: g_e * raw_eq(xx)) if m_e else None,
-            ineq=(lambda xx: g_i * raw_ineq(xx)) if m_i else None)
+
+    # the scale factors ride the params pytree (not the trace) so an
+    # edited model re-solves against the same compiled step functions
+    pk = {"p": p, "sf": jnp.asarray(scale_f)}
+    if g_e is not None:
+        pk["ge"] = g_e
+    if g_i is not None:
+        pk["gi"] = g_i
+
+    f = lambda xx, pp: pp["sf"] * f_raw(xx, pp["p"])  # noqa: E731
+    c_e_fn = (lambda xx, pp: pp["ge"] * eq_raw(xx, pp["p"])) if m_e \
+        else None
+    c_i_fn = (lambda xx, pp: pp["gi"] * ineq_raw(xx, pp["p"])) if m_i \
+        else None
 
     step, kkt_error, metrics, resto_step, (c_e, c_i) = _make_fns(
-        problem, n_x, m_e, m_i)
+        f, c_e_fn, c_i_fn, n_x, m_e, m_i)
 
     # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
     # start (MATPOWER setpoints can violate balance by tens of p.u.) pins
@@ -295,9 +330,9 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     def _theta_of(xx):
         t = 0.0
         if m_e:
-            t += float(jnp.sum(jnp.abs(c_e(xx))))
+            t += float(jnp.sum(jnp.abs(c_e(xx, pk))))
         if m_i:
-            t += float(jnp.sum(jnp.abs(jnp.minimum(c_i(xx), 0.0))))
+            t += float(jnp.sum(jnp.abs(jnp.minimum(c_i(xx, pk), 0.0))))
         return t
 
     theta_start = _theta_of(x)
@@ -305,7 +340,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         lam = 1e-6
         th = theta_start
         for _ in range(60):
-            dxr, _ = resto_step(x, lam)
+            dxr, _ = resto_step(x, lam, pk)
             if not bool(jnp.all(jnp.isfinite(dxr))):
                 lam *= 10.0
                 continue
@@ -325,13 +360,29 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                   f"-> {th:.3e}")
 
     if m_i:
-        ci0 = jnp.asarray(problem.ineq(x))
+        ci0 = jnp.asarray(c_i(x, pk))
         s = jnp.maximum(ci0, 1e-2)
         z = jnp.clip(mu0 / s, 1e-8, 1e6)
     else:
         s = jnp.zeros(0)
         z = jnp.zeros(0)
     y = jnp.zeros(m_e)
+
+    if warm_duals is not None:
+        y_w, z_w, s_w = warm_duals
+        # the carried duals are unscaled (IpmResult form); map them into
+        # this solve's scaled space, then project z into the central-path
+        # band so a stale dual can't pin the first fraction-to-boundary
+        if m_e and y_w is not None and len(y_w) == m_e:
+            y = jnp.asarray(np.asarray(y_w, dtype=np.float64)) * scale_f
+            if g_e is not None:
+                y = y / g_e
+        if m_i and z_w is not None and len(z_w) == m_i:
+            z_c = jnp.asarray(np.asarray(z_w, dtype=np.float64)) * scale_f
+            if g_i is not None:
+                z_c = z_c / g_i
+            z = jnp.clip(z_c, mu0 / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu0 / s)
+            z = jnp.maximum(z, 1e-14)
 
     mu = mu0
     mu_min = tol / 11.0
@@ -341,8 +392,10 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     best = None
     stall = 0
 
-    _, theta0, _, _, _ = metrics(x, s, mu)
+    _, theta0, _, _, _ = metrics(x, s, mu, pk)
     theta0 = float(theta0)
+    prev_obj = None
+    acceptable_run = 0
     theta_min = 1e-4 * max(1.0, theta0)
     theta_max = 1e4 * max(1.0, theta0)
     # the filter starts with the theta cap (W-B eq. 25)
@@ -351,7 +404,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     pinched = 0
 
     for it in range(1, max_iter + 1):
-        err = float(kkt_error(x, y, z, s, 0.0))
+        err = float(kkt_error(x, y, z, s, 0.0, pk))
         if best is None or err < best[0]:
             best = (err, x, y, z, s)
             stall = 0
@@ -380,13 +433,35 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         # the mu-scaled error (W-B eq. 7); the filter resets on mu change
         changed = False
         while mu > mu_min and \
-                float(kkt_error(x, y, z, s, mu)) <= KAPPA_EPS * mu:
+                float(kkt_error(x, y, z, s, mu, pk)) <= KAPPA_EPS * mu:
             mu = max(mu_min, min(KAPPA_MU * mu, mu ** THETA_MU))
             changed = True
         if changed:
             filt = [(theta_max, -np.inf)]
 
-        fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu)
+        fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu, pk)
+
+        # Ipopt acceptable-point heuristic (their acceptable_iter /
+        # acceptable_constr_viol_tol / acceptable_obj_change_tol): a
+        # degenerate active set (e.g. the optimum exactly at a piecewise
+        # breakpoint, or a just-relaxed binding row) leaves the KKT system
+        # singular in the limit — the dual residual oscillates while the
+        # iterate is, for every practical purpose, the solution. Stop once
+        # the violation is negligible and the objective has been stagnant
+        # for `acceptable_iter` consecutive iterations.
+        fv = float(fval)
+        if float(theta_k) <= max(10.0 * tol, 1e-7) and \
+                prev_obj is not None and \
+                abs(fv - prev_obj) <= 1e-7 * max(1.0, abs(fv)) and \
+                best is not None and best[0] < 1e-3:
+            acceptable_run += 1
+            if acceptable_run >= acceptable_iter:
+                converged = True
+                break
+        else:
+            acceptable_run = 0
+        prev_obj = fv
+
         if m_i and float(jnp.max(ri_k)) > 0.0:
             # slack lifting: raising s_i to c_I(x)_i wherever c_I(x)_i > s_i
             # strictly reduces both theta (|c_I - s| -> 0) and phi
@@ -395,7 +470,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             s = jnp.where(ri_k > 0.0, s + ri_k, s)
             z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
             z = jnp.maximum(z, 1e-14)
-            fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu)
+            fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu, pk)
         theta_k = float(theta_k)
         phi_k = float(phi_k)
         if verbose >= 2:
@@ -406,7 +481,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         delta = 0.0 if delta_last == 0.0 else max(1e-20, delta_last / 3.0)
         ok = False
         for attempt in range(30):
-            out = step(x, y, z, s, mu, delta, ce_k, ri_k)
+            out = step(x, y, z, s, mu, delta, ce_k, ri_k, pk)
             dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi = out
             dxn = float(dx @ dx)
             ok = bool(jnp.all(jnp.isfinite(dx))) \
@@ -445,7 +520,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         while True:
             x_t = x + alpha * dx_t
             s_t = jnp.maximum(s + alpha * ds_t, 1e-300) if m_i else s
-            _, theta_t, phi_t, ce_t, ri_t = metrics(x_t, s_t, mu)
+            _, theta_t, phi_t, ce_t, ri_t = metrics(x_t, s_t, mu, pk)
             theta_t = float(theta_t)
             phi_t = float(phi_t)
             if np.isfinite(theta_t) and np.isfinite(phi_t) and \
@@ -467,7 +542,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                     np.isfinite(theta_t) and theta_t >= theta_k:
                 ce_soc = alpha * ce_k + ce_t if m_e else ce_k
                 ri_soc = alpha * ri_k + ri_t if m_i else ri_k
-                out = step(x, y, z, s, mu, delta, ce_soc, ri_soc)
+                out = step(x, y, z, s, mu, delta, ce_soc, ri_soc, pk)
                 dx_c, _, ds_c, _, alpha_s_c, _, lin_res_c, _, _ = out
                 if bool(jnp.all(jnp.isfinite(dx_c))) and \
                         float(lin_res_c) < 1e-6:
@@ -510,14 +585,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             theta_r = theta_k
             improved = False
             for _ in range(40):
-                dxr, half_sq = resto_step(x_r, lam)
+                dxr, half_sq = resto_step(x_r, lam, pk)
                 if not bool(jnp.all(jnp.isfinite(dxr))):
                     lam *= 10.0
                     continue
                 x_try = x_r + dxr
-                s_try = jnp.maximum(jnp.asarray(c_i(x_try)), mu) \
+                s_try = jnp.maximum(jnp.asarray(c_i(x_try, pk)), mu) \
                     if m_i else s
-                _, theta_try, phi_try, _, _ = metrics(x_try, s_try, mu)
+                _, theta_try, phi_try, _, _ = metrics(x_try, s_try, mu, pk)
                 theta_try = float(theta_try)
                 if theta_try < theta_r:
                     x_r, theta_r = x_try, theta_try
@@ -542,7 +617,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                          phi_k - GAMMA_PHI * theta_k))
             x = x_r
             if m_i:
-                ci_r = jnp.asarray(c_i(x))
+                ci_r = jnp.asarray(c_i(x, pk))
                 s = jnp.maximum(ci_r, mu)
                 z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
                 z = jnp.maximum(z, 1e-14)
@@ -585,5 +660,5 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     return IpmResult(
         x=np.asarray(x), y=y_out, z=z_out,
         s=s_out,
-        objective=float(raw_objective(x)),
+        objective=float(f_raw(x, p)),
         converged=converged, iterations=it, kkt_error=float(err))
