@@ -175,6 +175,25 @@ def _se_scenarios(arr, nscen, spread=0.5, rng_seed=3):
         (nscen, len(base)))
 
 
+def _se_hbm_gb(chunk, rows, n_bus):
+    """Rough per-chunk HBM footprint of the batched GN SE program: the
+    H-matrix plus a handful of same-shaped fused intermediates (weighted
+    rows, residual products) at f64, plus the per-scenario gain stack.
+    Used to pick chunk sizes that respect the 16 GB v5e budget."""
+    s = 2 * n_bus
+    per_scen = 6 * rows * s * 8 + 4 * s * s * 8
+    return round(chunk * per_scen / 2**30, 2)
+
+
+def _pick_chunk(rows, n_bus, budget_gb=6.0, cap=256):
+    """Largest power-of-two scenario chunk whose estimated footprint fits
+    the budget (the v5e has 16 GB; leave headroom for XLA temps)."""
+    chunk = cap
+    while chunk > 1 and _se_hbm_gb(chunk, rows, n_bus) > budget_gb:
+        chunk //= 2
+    return chunk
+
+
 def config3_se118(on_tpu):
     import jax.numpy as jnp
 
@@ -188,21 +207,38 @@ def config3_se118(on_tpu):
     arr, _, _ = compile_se_arrays(system, mon)
     net = compile_ac_arrays(system)
     n = system.bus.number
+    rows = int(np.asarray(arr.mean).shape[0])
 
+    # chunked like config 5: one 1024-scenario while_loop was exactly the
+    # shape that OOM-killed the round-2 bench on the 16 GB chip
     nscen = 1024 if on_tpu else 64
-    means = jnp.asarray(_se_scenarios(arr, nscen))
+    chunk = _pick_chunk(rows, n, cap=128) if on_tpu else 16
+    hbm_gb = _se_hbm_gb(chunk, rows, n)
+    means = _se_scenarios(arr, nscen)
     vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
-                              (nscen, 1)))
-    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n], (nscen, 1)))
+                              (chunk, 1)))
+    va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n],
+                              (chunk, 1)))
 
-    def run():
+    def run_chunk(mz):
         vm, va, iters, conv = batched_se_solve_jit(
-            arr, net, vm0, va0, means, tol=TOL, max_iter=40)
+            arr, net, vm0, va0, jnp.asarray(mz), tol=TOL, max_iter=40)
         vm.block_until_ready()
         return iters, conv
 
-    iters, conv = run()
-    t_fw = _best(run)
+    run_chunk(means[:chunk])  # warmup/compile
+
+    def run_all():
+        tot_it, tot_conv = 0, 0
+        for k in range(0, nscen, chunk):
+            iters, conv = run_chunk(means[k:k + chunk])
+            tot_it += int(np.asarray(iters).sum())
+            tot_conv += int(np.asarray(conv).sum())
+        return tot_it, tot_conv
+
+    t0 = time.perf_counter()
+    total_iters, total_conv = run_all()
+    t_fw = time.perf_counter() - t0
 
     # serial sparse oracle rate (subsample; scale by scenario count)
     n_cpu = min(8, nscen)
@@ -213,18 +249,16 @@ def config3_se118(on_tpu):
     assert res.converged
     rate_fw = nscen / t_fw
     rate_cpu = 1.0 / t_cpu_each
-    total_iters = int(np.asarray(iters).sum())
     return {
-        "scenarios": nscen,
-        "converged": int(np.asarray(conv).sum()),
+        "scenarios": nscen, "chunk": chunk, "hbm_est_gb": hbm_gb,
+        "converged": total_conv,
         "gn_iterations": total_iters,
         "fw_solves_per_s": round(rate_fw, 1),
         "cpu_solves_per_s": round(rate_cpu, 1),
         "fw_wall_s": round(t_fw, 4),
         "speedup": round(rate_fw / rate_cpu, 2),
-        "rows": int(np.asarray(arr.mean).shape[0]),
-        "achieved_tflops": _se_tflops(
-            total_iters, int(np.asarray(arr.mean).shape[0]), n, t_fw),
+        "rows": rows,
+        "achieved_tflops": _se_tflops(total_iters, rows, n, t_fw),
     }
 
 
@@ -329,13 +363,6 @@ def config4_lav_baddata_118():
 # ---------------------------------------------------------------------------
 
 def config5_pegase(on_tpu):
-    import jax.numpy as jnp
-
-    from juliagrid_tpu.estimation.acse import compile_se_arrays
-    from juliagrid_tpu.oracle import oracle_wls_se
-    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
-    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
-
     out = {}
 
     # --- AC OPF (interior point); pegase on the chip, 118 on CPU dry-runs
@@ -346,18 +373,35 @@ def config5_pegase(on_tpu):
         system = _case(opf_case)
         opf = ac_optimal_power_flow(system)
         t0 = time.perf_counter()
-        solve(opf)
+        solve(opf, max_seconds=900.0 if on_tpu else 300.0)
         t_opf = time.perf_counter() - t0
         out.update(opf_case=opf_case,
                    opf_converged=bool(opf.method.converged),
+                   opf_status=getattr(opf.method.result, "status", "?"),
                    opf_iterations=int(opf.method.iteration),
                    opf_objective=round(float(opf.method.objective), 2),
+                   opf_kkt_error=float(opf.method.result.kkt_error),
                    opf_wall_s=round(t_opf, 2))
     except Exception as exc:  # report, don't kill the bench
         out.update(opf_case=opf_case, opf_converged=False,
-                   opf_error=str(exc)[:200])
+                   opf_error=f"{type(exc).__name__}: {str(exc)[:200]}")
 
     # --- batched Monte-Carlo WLS SE (the 10k-scenario pod shape) ---
+    try:
+        _config5_se(out, on_tpu)
+    except Exception as exc:
+        out["se_error"] = f"{type(exc).__name__}: {str(exc)[:300]}"
+    return out
+
+
+def _config5_se(out, on_tpu):
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.estimation.acse import compile_se_arrays
+    from juliagrid_tpu.oracle import oracle_wls_se
+    from juliagrid_tpu.parallel.batch import batched_se_solve_jit
+    from juliagrid_tpu.powerflow.ac import compile_ac_arrays
+
     system = _case("case1354pegase.h5")
     mon, pf = _scada_pmu(system, pmu_every=10)
     arr, _, _ = compile_se_arrays(system, mon)
@@ -365,7 +409,11 @@ def config5_pegase(on_tpu):
     n = system.bus.number
 
     nscen = 256 if on_tpu else 4
-    chunk = 8 if on_tpu else 2
+    chunk = _pick_chunk(int(np.asarray(arr.mean).shape[0]), n, cap=8) \
+        if on_tpu else 2
+    out["se_chunk"] = chunk
+    out["se_hbm_est_gb"] = _se_hbm_gb(
+        chunk, int(np.asarray(arr.mean).shape[0]), n)
     means = _se_scenarios(arr, nscen)
     vm0 = np.tile(system.bus.voltage.magnitude.array[:n], (chunk, 1))
     va0 = np.tile(system.bus.voltage.angle.array[:n], (chunk, 1))
@@ -405,7 +453,6 @@ def config5_pegase(on_tpu):
         "se_achieved_tflops": _se_tflops(
             total_iters, int(np.asarray(arr.mean).shape[0]), n, t_fw),
     })
-    return out
 
 
 def main():
@@ -414,31 +461,47 @@ def main():
     device = jax.devices()[0]
     on_tpu = device.platform not in ("cpu",)
 
-    c1 = config1_nr14()
-    c2 = config2_dc_fdpf_118()
-    c3 = config3_se118(on_tpu)
-    c4 = config4_lav_baddata_118()
-    c5 = config5_pegase(on_tpu)
+    # every config is guarded: one failure must never cost the others
+    # their numbers (round-2 lesson — an OOM in one config killed the
+    # whole run and produced zero TPU evidence)
+    detail = {"device": str(device)}
+    configs = [
+        ("config1_nr14_flat", config1_nr14, ()),
+        ("config2_dc_fdpf_118", config2_dc_fdpf_118, ()),
+        ("config3_wls_se_118", config3_se118, (on_tpu,)),
+        ("config4_lav_baddata_118", config4_lav_baddata_118, ()),
+        ("config5_pegase", config5_pegase, (on_tpu,)),
+    ]
+    for name, fn, args in configs:
+        t0 = time.perf_counter()
+        try:
+            detail[name] = fn(*args)
+        except Exception as exc:
+            detail[name] = {
+                "error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        detail[name]["config_wall_s"] = round(time.perf_counter() - t0, 1)
 
-    ratios = [c1["speedup"], c2["dc_speedup"], c2["fdpf_speedup"],
-              c3["speedup"], c4["lnr_speedup"]]
-    if "se_speedup" in c5:
-        ratios.append(c5["se_speedup"])
-    geomean = float(np.exp(np.mean(np.log(np.maximum(ratios, 1e-12)))))
+    ratios = []
+    for name, keys in [
+        ("config1_nr14_flat", ("speedup",)),
+        ("config2_dc_fdpf_118", ("dc_speedup", "fdpf_speedup")),
+        ("config3_wls_se_118", ("speedup",)),
+        ("config4_lav_baddata_118", ("lnr_speedup",)),
+        ("config5_pegase", ("se_speedup",)),
+    ]:
+        for k in keys:
+            v = detail.get(name, {}).get(k)
+            if v is not None:
+                ratios.append(v)
+    geomean = float(np.exp(np.mean(np.log(np.maximum(ratios, 1e-12))))) \
+        if ratios else 0.0
 
     print(json.dumps({
         "metric": "baseline_configs_speedup_geomean",
         "value": round(geomean, 3),
         "unit": "x vs sparse CPU oracle (CSC+splu, reference stack shape)",
         "vs_baseline": round(geomean, 3),
-        "detail": {
-            "device": str(device),
-            "config1_nr14_flat": c1,
-            "config2_dc_fdpf_118": c2,
-            "config3_wls_se_118": c3,
-            "config4_lav_baddata_118": c4,
-            "config5_pegase": c5,
-        },
+        "detail": detail,
     }))
 
 

@@ -646,7 +646,8 @@ def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
 
 
 def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
-          tolerance: float = 1e-8, verbose: int = 0) -> AcOptimalPowerFlow:
+          tolerance: float = 1e-8, verbose: int = 0,
+          max_seconds=None) -> AcOptimalPowerFlow:
     analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
@@ -654,12 +655,23 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
     problem = NlpProblem(objective=spec.objective, eq=spec.eq,
                          ineq=spec.ineq if has_ineq else None,
                          params=spec.params)
+    # dual carry is valid only against the same constraint layout: length
+    # equality is not enough (two structural edits can keep counts equal
+    # while permuting row meaning), so stamp the structure and compare
+    layout = (spec.n, tuple(spec.ineq_tags),
+              tuple(i for i, _ in spec.fix_v),
+              tuple(i for i, _ in spec.fix_p),
+              tuple(i for i, _ in spec.fix_q))
     warm = None
     prev = getattr(analysis.method, "result", None)
-    if getattr(analysis, "_carry_duals", False) and prev is not None:
+    if getattr(analysis, "_carry_duals", False) and prev is not None \
+            and getattr(analysis.method, "_warm_layout", None) == layout:
         warm = (prev.y, prev.z, prev.s)
+    analysis._carry_duals = False
     res = solve_nlp(problem, analysis._x0, max_iter=max_iter, tol=tolerance,
-                    verbose=verbose, warm_duals=warm)
+                    verbose=verbose, warm_duals=warm,
+                    max_seconds=max_seconds)
+    analysis.method._warm_layout = layout
     analysis.method.result = res
     analysis.method.iteration = res.iterations
     analysis.method.converged = res.converged

@@ -147,9 +147,12 @@ def fix(analysis: AcOptimalPowerFlow, *, variable: str, label, value=None):
         x0 = np.asarray(analysis._x0)
         off = {"magnitude": n, "active": 2 * n, "reactive": 2 * n + g}
         value = float(x0[off[variable] + i])
-    if not hasattr(spec, "_prefix_bounds"):
-        spec._prefix_bounds = {}
-    spec._prefix_bounds.setdefault((variable, i), (lo, hi))
+    # the pre-fix bounds live on the analysis (not the spec): update_cost's
+    # multi-segment path rebuilds a fresh _AcSpec, and the bookkeeping must
+    # survive that so unfix can restore the original capability data
+    if not hasattr(analysis, "_prefix_bounds"):
+        analysis._prefix_bounds = {}
+    analysis._prefix_bounds.setdefault((variable, i), (lo, hi))
     return set_bound(analysis, variable=variable, label=label,
                      min=value, max=value)
 
@@ -160,8 +163,12 @@ def unfix(analysis: AcOptimalPowerFlow, *, variable: str, label):
     spec = _live_spec(analysis)
     system = analysis.system
     i, *_ = _bounds_of(spec, system, variable, label)
-    lo, hi = getattr(spec, "_prefix_bounds", {}).pop(
-        (variable, i), (-np.inf, np.inf))
+    try:
+        lo, hi = getattr(analysis, "_prefix_bounds", {}).pop((variable, i))
+    except KeyError:
+        raise ValueError(
+            f"the {variable} variable of {label!r} has no recorded fix to "
+            "release; call fix() before unfix()") from None
     return set_bound(analysis, variable=variable, label=label,
                      min=lo, max=hi)
 
@@ -231,46 +238,52 @@ def update_cost(analysis: AcOptimalPowerFlow, label, *, active=None,
     _cost_builder(system, label, active=active, reactive=reactive,
                   polynomial=polynomial, piecewise=piecewise)
     i = system.generator.label.index(label)
-    kind = "q" if reactive is not None else "p"
-    cost_store = system.generator.cost.reactive if kind == "q" \
-        else system.generator.cost.active
     if not spec.gen_on[i]:
         return analysis  # off generators carry no objective term
 
-    pw_gens = spec.pw_gens_q if kind == "q" else spec.pw_gens_p
-    cmodel = int(cost_store.model[i])
-    if cmodel == 1 and i in cost_store.piecewise \
-            and len(np.asarray(cost_store.piecewise[i])) > 2 \
-            or i in pw_gens:
-        # epigraph helper structure involved: state size / cut counts may
-        # change — take the full rebuild path
-        analysis.signature = None
-        analysis._refresh_spec()
-        analysis._carry_duals = True
-        return analysis
+    # splice every edited side: active= and reactive= can be passed
+    # together (the system builder updates both), and the live spec must
+    # follow suit on both, not just the last one
+    kinds = [k for k, flag in (("p", active), ("q", reactive))
+             if flag is not None]
+    for kind in kinds:
+        cost_store = system.generator.cost.reactive if kind == "q" \
+            else system.generator.cost.active
+        pw_gens = spec.pw_gens_q if kind == "q" else spec.pw_gens_p
+        cmodel = int(cost_store.model[i])
+        if cmodel == 1 and i in cost_store.piecewise \
+                and len(np.asarray(cost_store.piecewise[i])) > 2 \
+                or i in pw_gens:
+            # epigraph helper structure involved: state size / cut counts
+            # may change — take the full rebuild path (covers all sides)
+            analysis.signature = None
+            analysis._refresh_spec()
+            analysis._carry_duals = True
+            return analysis
 
-    # splice the polynomial/affine term in place
-    if cmodel == 2 and i in cost_store.polynomial:
-        coeffs = np.asarray(cost_store.polynomial[i], dtype=float)
-    elif cmodel == 1 and i in cost_store.piecewise:
-        pts = np.asarray(cost_store.piecewise[i])
-        if len(pts) != 2:
-            raise ValueError("piecewise cost requires at least two points")
-        slope = (pts[1, 1] - pts[0, 1]) / (pts[1, 0] - pts[0, 0])
-        coeffs = np.asarray([slope, pts[0, 1] - pts[0, 0] * slope])
-    else:
-        coeffs = None
+        # splice the polynomial/affine term in place
+        if cmodel == 2 and i in cost_store.polynomial:
+            coeffs = np.asarray(cost_store.polynomial[i], dtype=float)
+        elif cmodel == 1 and i in cost_store.piecewise:
+            pts = np.asarray(cost_store.piecewise[i])
+            if len(pts) != 2:
+                raise ValueError(
+                    "piecewise cost requires at least two points")
+            slope = (pts[1, 1] - pts[0, 1]) / (pts[1, 0] - pts[0, 0])
+            coeffs = np.asarray([slope, pts[0, 1] - pts[0, 0] * slope])
+        else:
+            coeffs = None
 
-    for k, (kd, gi, _co) in enumerate(spec.poly_terms):
-        if kd == kind and gi == i:
-            if coeffs is None:
-                del spec.poly_terms[k]
-            else:
-                spec.poly_terms[k] = (kind, i, coeffs)
-            break
-    else:
-        if coeffs is not None:
-            spec.poly_terms.append((kind, i, coeffs))
+        for k, (kd, gi, _co) in enumerate(spec.poly_terms):
+            if kd == kind and gi == i:
+                if coeffs is None:
+                    del spec.poly_terms[k]
+                else:
+                    spec.poly_terms[k] = (kind, i, coeffs)
+                break
+        else:
+            if coeffs is not None:
+                spec.poly_terms.append((kind, i, coeffs))
     spec._finalize()
     _recapture(analysis)
     return analysis

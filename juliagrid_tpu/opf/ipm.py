@@ -91,6 +91,41 @@ class IpmResult:
     converged: bool
     iterations: int
     kkt_error: float
+    # "optimal": KKT error < tol; "acceptable": stopped at an Ipopt-style
+    # acceptable point (degenerate active set, KKT error < acceptable_tol);
+    # "failed": no acceptable iterate found.
+    status: str = "optimal"
+
+
+# problems larger than this get chunked derivative evaluation: a plain
+# jacfwd/hessian materializes all n_x tangents at once, and its forward-pass
+# intermediates scale as n_x * |graph| — at pegase size (n_x ~ 3.2k, graph
+# intermediates ~ nnz-sized) that is multiple GB of HLO temps, which is what
+# killed the round-2 bench on the 16 GB v5e chip
+_CHUNK_THRESHOLD = 768
+_CHUNK_BLOCK = 256
+
+
+def _chunked_jacfwd(fn, n_x: int, block: int = _CHUNK_BLOCK):
+    """Forward-mode Jacobian evaluated ``block`` tangents at a time.
+
+    ``lax.map`` over tangent blocks bounds peak intermediate memory at
+    block/n_x of a full ``jax.jacfwd`` while compiling a single block
+    program. ``fn(x, *rest)`` must return a 1-D vector; the result matches
+    ``jax.jacfwd(fn)(x, *rest)`` (shape (m, n_x))."""
+    nb = -(-n_x // block)
+
+    def jac(x, *rest):
+        def one_block(start):
+            cols = start + jnp.arange(block)
+            vs = (cols[:, None] == jnp.arange(n_x)[None, :]).astype(x.dtype)
+            return jax.vmap(
+                lambda v: jax.jvp(lambda xx: fn(xx, *rest), (x,), (v,))[1]
+            )(vs)
+        rows = jax.lax.map(one_block, jnp.arange(nb) * block)
+        return rows.reshape(nb * block, -1)[:n_x].T
+
+    return jac
 
 
 def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
@@ -102,8 +137,13 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
         c_i = lambda x, p: jnp.zeros(0)  # noqa: E731
 
     grad_f = jax.grad(f)
-    jac_e = jax.jacfwd(c_e)
-    jac_i = jax.jacfwd(c_i)
+    big = n_x > _CHUNK_THRESHOLD
+    if big:
+        jac_e = _chunked_jacfwd(c_e, n_x)
+        jac_i = _chunked_jacfwd(c_i, n_x)
+    else:
+        jac_e = jax.jacfwd(c_e)
+        jac_i = jax.jacfwd(c_i)
 
     def lagrangian(x, y, z, p):
         val = f(x, p)
@@ -113,7 +153,16 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
             val = val - z @ c_i(x, p)
         return val
 
-    hess_l = jax.hessian(lagrangian)
+    grad_l = jax.grad(lagrangian)
+    if big:
+        hess_l = _chunked_jacfwd(grad_l, n_x)  # symmetric: Jᵀ of ∇L is H
+    else:
+        hess_l = jax.jacfwd(grad_l)
+
+    def _vjp(fn, x, p, cot):
+        """fnᵀ-Jacobian action Jᵀ·cot without materializing J."""
+        _, pull = jax.vjp(lambda xx: fn(xx, p), x)
+        return pull(cot)[0]
 
     @jax.jit
     def metrics(x, s, mu, p):
@@ -135,10 +184,10 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
         r_d = grad_f(x, p)
         dual_l1 = 0.0
         if m_e:
-            r_d = r_d - jac_e(x, p).T @ y
+            r_d = r_d - _vjp(c_e, x, p, y)
             dual_l1 = dual_l1 + jnp.sum(jnp.abs(y))
         if m_i:
-            r_d = r_d - jac_i(x, p).T @ z
+            r_d = r_d - _vjp(c_i, x, p, z)
             dual_l1 = dual_l1 + jnp.sum(jnp.abs(z))
         s_max = 100.0
         m_tot = max(m_e + m_i, 1)
@@ -262,7 +311,8 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
               max_iter: int = 200, tol: float = 1e-8,
               acceptable_tol: float = 1e-6, acceptable_iter: int = 25,
               mu0: float = 0.1, verbose: int = 0,
-              warm_duals: Optional[tuple] = None) -> IpmResult:
+              warm_duals: Optional[tuple] = None,
+              max_seconds: Optional[float] = None) -> IpmResult:
     """Outer IPM driver (host loop over jitted steps).
 
     ``warm_duals`` is an optional ``(y, z, s)`` triple from a previous
@@ -270,7 +320,12 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     ``transferdual!`` carry, optimalPowerFlow/utility.jl:417-691): the
     equality duals seed y directly and the inequality duals/slacks are
     projected into the central-path band for the starting barrier.
+
+    ``max_seconds`` is a wall-clock budget (excluding the first compile):
+    on expiry the loop stops and the best iterate is returned, flagged
+    acceptable/failed by its KKT error — the benchmark guard rail.
     """
+    import time as _time
     x = jnp.asarray(np.asarray(x0, dtype=np.float64))
     n_x = x.shape[0]
     if problem.params is not None:
@@ -402,8 +457,15 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     filt = [(theta_max, -np.inf)]
     delta_last = 0.0
     pinched = 0
+    t_start = None  # armed after the first (compile-bearing) iteration
 
     for it in range(1, max_iter + 1):
+        if max_seconds is not None:
+            if t_start is None and it == 2:
+                t_start = _time.perf_counter()
+            elif t_start is not None and \
+                    _time.perf_counter() - t_start > max_seconds:
+                break
         err = float(kkt_error(x, y, z, s, 0.0, pk))
         if best is None or err < best[0]:
             best = (err, x, y, z, s)
@@ -453,7 +515,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if float(theta_k) <= max(10.0 * tol, 1e-7) and \
                 prev_obj is not None and \
                 abs(fv - prev_obj) <= 1e-7 * max(1.0, abs(fv)) and \
-                best is not None and best[0] < 1e-3:
+                best is not None and best[0] < acceptable_tol:
             acceptable_run += 1
             if acceptable_run >= acceptable_iter:
                 converged = True
@@ -646,6 +708,16 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     if best is not None and best[0] < err:
         err, x, y, z, s = best
         converged = converged or err < tol
+    # Breaks out of the barrier loop (no factorizable KKT, feasible-yet-
+    # unsteppable, restoration failure) land here with converged=False even
+    # when the best iterate is, for every practical purpose, the solution —
+    # e.g. the degenerate KKT left behind by removing a binding constraint
+    # (remove! live-edit, optimalPowerFlow/utility.jl:303-326). Mirror the
+    # stall exit above: accept the best iterate at the acceptable level.
+    if not converged and best is not None and best[0] < acceptable_tol:
+        converged = True
+    status = "optimal" if err < tol else (
+        "acceptable" if converged else "failed")
     # un-scale the duals: min σf s.t. Gc(x) = 0 has multipliers Gỹ/σ for
     # the original constraints (stationarity σ∇f = JᵀGỹ + ...)
     inv = 1.0 / scale_f
@@ -661,4 +733,5 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         x=np.asarray(x), y=y_out, z=z_out,
         s=s_out,
         objective=float(f_raw(x, p)),
-        converged=converged, iterations=it, kkt_error=float(err))
+        converged=converged, iterations=it, kkt_error=float(err),
+        status=status)

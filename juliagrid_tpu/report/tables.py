@@ -19,30 +19,93 @@ import numpy as np
 from ..units import units
 
 
+def _compile_fmt(spec):
+    """Accept both printf-style ("%.2f", reference contract,
+    print/powerSystem.jl:14-17) and Python format specs ("{:.2f}")."""
+    if spec is None:
+        return None
+    if "{" in spec:
+        return spec
+    if spec.startswith("%"):
+        body = spec[1:]
+        if body and body[-1] in "di":
+            body = body[:-1] + "d"
+        return "{:" + body + "}"
+    return "{:" + spec + "}"
+
+
+# keyword contract shared by every printer (the reference's
+# print/powerSystem.jl:1-52 keyword surface negotiated by
+# print/utility.jl): per-column fmt/width/show dicts keyed by header
+# name, repeating headers, delimiter/style selection, header/footer
+# suppression and a title override.
+_TABLE_KWARGS = ("fmt", "width", "show", "repeat", "style", "delimiter",
+                 "header", "footer", "title")
+
+
 class Table:
-    """Column-based text table with width negotiation."""
+    """Column-based text table with width negotiation.
+
+    Reference parity: the per-column ``fmt``/``width``/``show`` dicts,
+    ``repeat`` headers, ``style``/``delimiter`` selection and
+    ``header``/``footer`` switches of print/utility.jl:1-948.
+    """
 
     def __init__(self, title: str = "", style: bool = True,
-                 delimiter: str = "|"):
+                 delimiter: str = "|", fmt=None, width=None, show=None,
+                 repeat: int = 0, header: bool = True, footer: bool = True):
         self.title = title
         self.style = style
         self.delimiter = delimiter
+        self.fmt = {k: _compile_fmt(v) for k, v in (fmt or {}).items()}
+        self.width = dict(width or {})
+        self.show = dict(show or {})
+        self.repeat = int(repeat)
+        self.header = header
+        self.footer = footer
         self.headers: list[tuple[str, str]] = []   # (name, unit)
         self.columns: list[list[str]] = []
 
     def add_column(self, name: str, values, unit: str = "", fmt="{:.4f}"):
+        if not self.show.get(name, True):
+            return
+        fmt = self.fmt.get(name, fmt)
         rendered = []
         for v in values:
             if isinstance(v, str):
                 rendered.append(v)
             elif v is None or (isinstance(v, float) and math.isnan(v)):
                 rendered.append("-")
-            elif isinstance(v, (int, np.integer)):
+            elif isinstance(v, (int, np.integer)) and "d" not in fmt:
                 rendered.append(str(int(v)))
             else:
-                rendered.append(fmt.format(float(v)))
+                try:
+                    rendered.append(fmt.format(float(v)))
+                except ValueError:  # integer spec on a float column
+                    rendered.append(fmt.format(int(v)))
         self.headers.append((name, unit))
         self.columns.append(rendered)
+
+    def _header_lines(self, widths, line):
+        out = []
+        if self.style:
+            out.append(line)
+        out.append(self._row([n for n, _ in self.headers], widths,
+                             align="ljust"))
+        if any(u for _, u in self.headers):
+            out.append(self._row([u for _, u in self.headers], widths,
+                                 align="ljust"))
+        if self.style:
+            out.append(line)
+        return out
+
+    def _row(self, vals, widths, align="rjust"):
+        cells = [getattr(v, align)(w) for v, w in zip(vals, widths)]
+        if self.style:
+            return "| " + " | ".join(cells) + " |"
+        d = self.delimiter
+        return f"{d} " + f" {d} ".join(cells) + f" {d}" if d else \
+            " ".join(cells)
 
     def render(self, file=None) -> str:
         file = file or sys.stdout
@@ -52,34 +115,39 @@ class Table:
         widths = []
         for (name, unit), col in zip(self.headers, self.columns):
             w = max([len(name), len(unit)] + [len(v) for v in col])
-            widths.append(w)
+            widths.append(max(w, int(self.width.get(name, 0))))
 
-        sep = "-" if self.style else ""
         out = []
         if self.title:
             out.append(self.title)
         line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
-        if self.style:
-            out.append(line)
-        out.append("| " + " | ".join(
-            n.ljust(w) for (n, _), w in zip(self.headers, widths)) + " |")
-        if any(u for _, u in self.headers):
-            out.append("| " + " | ".join(
-                u.ljust(w) for (_, u), w in zip(self.headers, widths))
-                + " |")
-        if self.style:
-            out.append(line)
+        if self.header:
+            out.extend(self._header_lines(widths, line))
         for r in range(nrows):
-            row = []
-            for col, w in zip(self.columns, widths):
-                val = col[r] if r < len(col) else ""
-                row.append(val.rjust(w))
-            out.append("| " + " | ".join(row) + " |")
-        if self.style:
+            if self.repeat and r and r % self.repeat == 0 and self.header:
+                out.extend(self._header_lines(widths, line))
+            out.append(self._row(
+                [col[r] if r < len(col) else "" for col in self.columns],
+                widths))
+        if self.style and self.footer:
             out.append(line)
         text = "\n".join(out)
         print(text, file=file)
         return text
+
+
+def _tablekw(kw, default_title=""):
+    """Split printer kwargs into the Table keyword set; reject unknowns."""
+    opts = {}
+    for k in _TABLE_KWARGS:
+        if k in kw:
+            opts[k] = kw.pop(k)
+    if kw:
+        raise TypeError(f"unknown printer keyword(s): {sorted(kw)}")
+    opts.setdefault("title", default_title)
+    if opts["title"] is None:
+        opts["title"] = default_title
+    return opts
 
 
 def _angle_scale():
@@ -93,13 +161,14 @@ def _power_scale(system):
     return 1.0
 
 
-def print_bus_data(analysis, file=None, label=None):
-    """Reference printBusData (print/powerSystem.jl)."""
+def print_bus_data(analysis, file=None, label=None, **kw):
+    """Reference printBusData (print/powerSystem.jl); accepts the
+    fmt/width/show/repeat/style/delimiter/header/footer/title contract."""
     system = analysis.system
     n = system.bus.number
     idxs = [system.bus.label.index(label)] if label is not None \
         else range(n)
-    tbl = Table(title="Bus Data")
+    tbl = Table(**_tablekw(kw, "Bus Data"))
     tbl.add_column("Label", [str(system.bus.label.label(i)) for i in idxs])
     vm = np.asarray(analysis.voltage.magnitude) if hasattr(
         analysis.voltage, "magnitude") else None
@@ -156,12 +225,12 @@ def print_bus_data(analysis, file=None, label=None):
     return tbl.render(file)
 
 
-def print_branch_data(analysis, file=None, label=None):
+def print_branch_data(analysis, file=None, label=None, **kw):
     system = analysis.system
     m = system.branch.number
     idxs = [system.branch.label.index(label)] if label is not None \
         else range(m)
-    tbl = Table(title="Branch Data")
+    tbl = Table(**_tablekw(kw, "Branch Data"))
     tbl.add_column("Label", [str(system.branch.label.label(i))
                              for i in idxs])
     tbl.add_column("From-Bus", [str(system.bus.label.label(
@@ -224,12 +293,12 @@ def print_branch_data(analysis, file=None, label=None):
     return tbl.render(file)
 
 
-def print_generator_data(analysis, file=None, label=None):
+def print_generator_data(analysis, file=None, label=None, **kw):
     system = analysis.system
     g = system.generator.number
     idxs = [system.generator.label.index(label)] if label is not None \
         else range(g)
-    tbl = Table(title="Generator Data")
+    tbl = Table(**_tablekw(kw, "Generator Data"))
     tbl.add_column("Label", [str(system.generator.label.label(i))
                              for i in idxs])
     tbl.add_column("Bus", [str(system.bus.label.label(
@@ -249,7 +318,7 @@ def print_generator_data(analysis, file=None, label=None):
     return tbl.render(file)
 
 
-def print_bus_summary(analysis, file=None):
+def print_bus_summary(analysis, file=None, **kw):
     """Reference printBusSummary: min/max/total statistics."""
     vm = np.asarray(getattr(analysis.voltage, "magnitude", []))
     va = np.asarray(analysis.voltage.angle)
@@ -287,13 +356,13 @@ def print_bus_summary(analysis, file=None):
             arr = np.asarray(arr)
             if arr.size:
                 rows.append((name, unit, arr, p_scale, tot))
-    return _summary_table("Bus Summary", rows, labels, file)
+    return _summary_table("Bus Summary", rows, labels, file, **kw)
 
 
-def _summary_table(title, rows, labels, file):
+def _summary_table(title, rows, labels, file, **kw):
     """Reference-style summary: per-quantity min/max with labels + totals
     (print/powerSystem.jl busSummary/branchSummary/generatorSummary)."""
-    tbl = Table(title=title)
+    tbl = Table(**_tablekw(kw, title))
     tbl.add_column("Quantity", [f"{name} [{unit}]" if unit else name
                                 for name, unit, *_ in rows])
     tbl.add_column("Minimum Label",
@@ -311,9 +380,9 @@ def _summary_table(title, rows, labels, file):
     return tbl.render(file)
 
 
-def print_branch_summary(analysis, file=None):
+def print_branch_summary(analysis, file=None, **kw):
     system = analysis.system
-    tbl = Table(title="Branch Summary")
+    tbl = Table(**_tablekw(dict(kw), "Branch Summary"))
     if analysis.power is None:
         return tbl.render(file)
     p = analysis.power
@@ -340,12 +409,13 @@ def print_branch_summary(analysis, file=None):
             rows.append((name, unit, arr, p_scale, tot))
     if not rows:
         return tbl.render(file)
-    return _summary_table("Branch Summary", rows, system.branch.label, file)
+    return _summary_table("Branch Summary", rows, system.branch.label,
+                          file, **kw)
 
 
-def print_generator_summary(analysis, file=None):
+def print_generator_summary(analysis, file=None, **kw):
     system = analysis.system
-    tbl = Table(title="Generator Summary")
+    tbl = Table(**_tablekw(dict(kw), "Generator Summary"))
     if analysis.power is None or not len(analysis.power.generator.active):
         return tbl.render(file)
     p_scale = _power_scale(system)
@@ -356,7 +426,7 @@ def print_generator_summary(analysis, file=None):
         rows.append(("Power Output Reactive", units.reactive_power, qg,
                      p_scale, True))
     return _summary_table("Generator Summary", rows,
-                          system.generator.label, file)
+                          system.generator.label, file, **kw)
 
 
 def _se_residuals_by_device(analysis, kind):
@@ -377,93 +447,103 @@ def _se_residuals_by_device(analysis, kind):
     return out
 
 
-def _meter_table(title, store, meter, kind, analysis=None, file=None):
-    tbl = Table(title=title)
-    count = store.number
-    tbl.add_column("Label", [str(store.label.label(i))
-                             for i in range(count)])
-    tbl.add_column("Measurement Mean", meter.mean.array[:count])
-    tbl.add_column("Measurement Variance", meter.variance.array[:count],
-                   fmt="{:.2e}")
-    tbl.add_column("Status", meter.status.array[:count])
+def _meter_table(title, store, meter, kind, analysis=None, file=None,
+                 label=None, **kw):
+    tbl = Table(**_tablekw(kw, title))
+    idxs = [store.label.index(label)] if label is not None \
+        else range(store.number)
+    tbl.add_column("Label", [str(store.label.label(i)) for i in idxs])
+    tbl.add_column("Measurement Mean", [meter.mean.array[i] for i in idxs])
+    tbl.add_column("Measurement Variance",
+                   [meter.variance.array[i] for i in idxs], fmt="{:.2e}")
+    tbl.add_column("Status", [meter.status.array[i] for i in idxs])
     res = _se_residuals_by_device(analysis, kind)
     if res is not None:
         tbl.add_column("Residual",
-                       [res.get(i) for i in range(count)], fmt="{:.2e}")
+                       [res.get(i) for i in idxs], fmt="{:.2e}")
     return tbl.render(file)
 
 
-def print_voltmeter_data(monitoring, analysis=None, file=None):
+def print_voltmeter_data(monitoring, analysis=None, file=None, **kw):
     return _meter_table("Voltmeter Data", monitoring.voltmeter,
                         monitoring.voltmeter.magnitude, "voltmeter",
-                        analysis, file=file)
+                        analysis, file=file, **kw)
 
 
-def print_ammeter_data(monitoring, analysis=None, file=None):
+def print_ammeter_data(monitoring, analysis=None, file=None, **kw):
     return _meter_table("Ammeter Data", monitoring.ammeter,
                         monitoring.ammeter.magnitude, "ammeter",
-                        analysis, file=file)
+                        analysis, file=file, **kw)
 
 
-def print_wattmeter_data(monitoring, analysis=None, file=None):
+def print_wattmeter_data(monitoring, analysis=None, file=None, **kw):
     return _meter_table("Wattmeter Data", monitoring.wattmeter,
                         monitoring.wattmeter.active, "wattmeter",
-                        analysis, file=file)
+                        analysis, file=file, **kw)
 
 
-def print_varmeter_data(monitoring, analysis=None, file=None):
+def print_varmeter_data(monitoring, analysis=None, file=None, **kw):
     return _meter_table("Varmeter Data", monitoring.varmeter,
                         monitoring.varmeter.reactive, "varmeter",
-                        analysis, file=file)
+                        analysis, file=file, **kw)
 
 
-def print_pmu_data(monitoring, analysis=None, file=None):
+def print_pmu_data(monitoring, analysis=None, file=None, label=None,
+                   **kw):
     pmu = monitoring.pmu
-    tbl = Table(title="PMU Data")
-    count = pmu.number
-    tbl.add_column("Label", [str(pmu.label.label(i)) for i in range(count)])
-    tbl.add_column("Magnitude Mean", pmu.magnitude.mean.array[:count])
-    tbl.add_column("Angle Mean", pmu.angle.mean.array[:count])
+    tbl = Table(**_tablekw(kw, "PMU Data"))
+    idxs = [pmu.label.index(label)] if label is not None \
+        else range(pmu.number)
+    tbl.add_column("Label", [str(pmu.label.label(i)) for i in idxs])
+    tbl.add_column("Magnitude Mean",
+                   [pmu.magnitude.mean.array[i] for i in idxs])
+    tbl.add_column("Angle Mean", [pmu.angle.mean.array[i] for i in idxs])
     tbl.add_column("Magnitude Variance",
-                   pmu.magnitude.variance.array[:count], fmt="{:.2e}")
-    tbl.add_column("Angle Variance", pmu.angle.variance.array[:count],
+                   [pmu.magnitude.variance.array[i] for i in idxs],
                    fmt="{:.2e}")
-    tbl.add_column("Status", pmu.magnitude.status.array[:count])
+    tbl.add_column("Angle Variance",
+                   [pmu.angle.variance.array[i] for i in idxs],
+                   fmt="{:.2e}")
+    tbl.add_column("Status", [pmu.magnitude.status.array[i] for i in idxs])
     return tbl.render(file)
 
 
-def print_bus_constraint(analysis, file=None):
+def print_bus_constraint(analysis, file=None, label=None, **kw):
     """Reference printBusConstraint: OPF primal values and duals per bus."""
     system = analysis.system
     n = system.bus.number
-    tbl = Table(title="Bus Constraint Data")
+    idxs = [system.bus.label.index(label)] if label is not None \
+        else list(range(n))
+    tbl = Table(**_tablekw(kw, "Bus Constraint Data"))
     tbl.add_column("Label", [str(system.bus.label.label(i))
-                             for i in range(n)])
+                             for i in idxs])
     if hasattr(analysis.voltage, "magnitude"):
-        tbl.add_column("Voltage Magnitude",
-                       np.asarray(analysis.voltage.magnitude))
+        vm = np.asarray(analysis.voltage.magnitude)
+        tbl.add_column("Voltage Magnitude", vm[idxs])
     dual = analysis.method.dual if analysis.method.dual else {}
     bal = dual.get("balance", dual.get("balance_active"))
     if bal is not None:
-        tbl.add_column("Active Balance Dual", np.asarray(bal),
+        tbl.add_column("Active Balance Dual", np.asarray(bal)[idxs],
                        fmt="{:.4e}")
     bal_q = dual.get("balance_reactive")
     if bal_q is not None:
-        tbl.add_column("Reactive Balance Dual", np.asarray(bal_q),
+        tbl.add_column("Reactive Balance Dual", np.asarray(bal_q)[idxs],
                        fmt="{:.4e}")
     return tbl.render(file)
 
 
-def print_branch_constraint(analysis, file=None):
+def print_branch_constraint(analysis, file=None, label=None, **kw):
     system = analysis.system
     dual = analysis.method.dual if analysis.method.dual else {}
     tags = dual.get("ineq_tags", [])
     z = np.asarray(dual.get("ineq", []))
     if isinstance(dual.get("ineq"), dict):
         z = np.asarray(list(dual["ineq"].values()))
-    tbl = Table(title="Branch Constraint Data")
+    tbl = Table(**_tablekw(kw, "Branch Constraint Data"))
+    want = system.branch.label.index(label) if label is not None else None
     rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
-            if "flow" in tag or "angle" in tag]
+            if ("flow" in tag or "angle" in tag)
+            and (want is None or el == want)]
     tbl.add_column("Constraint", [r[0] for r in rows])
     tbl.add_column("Branch", [str(system.branch.label.label(r[1]))
                               for r in rows])
@@ -471,16 +551,20 @@ def print_branch_constraint(analysis, file=None):
     return tbl.render(file)
 
 
-def print_generator_constraint(analysis, file=None):
+def print_generator_constraint(analysis, file=None, label=None, **kw):
     system = analysis.system
     dual = analysis.method.dual if analysis.method.dual else {}
     tags = dual.get("ineq_tags", [])
     z = np.asarray(dual.get("ineq", []))
     if isinstance(dual.get("ineq"), dict):
         z = np.asarray(list(dual["ineq"].values()))
-    tbl = Table(title="Generator Constraint Data")
+    tbl = Table(**_tablekw(kw, "Generator Constraint Data"))
+    want = system.generator.label.index(label) if label is not None \
+        else None
     rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
-            if "capability" in tag or "active" in tag or "reactive" in tag]
+            if ("capability" in tag or "active" in tag
+                or "reactive" in tag)
+            and (want is None or el == want)]
     tbl.add_column("Constraint", [r[0] for r in rows])
     tbl.add_column("Generator", [str(system.generator.label.label(r[1]))
                                  for r in rows])

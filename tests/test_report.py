@@ -179,3 +179,60 @@ def test_verbose_solver_tables(data_path, capsys):
     state_estimation(se2)
     np.testing.assert_allclose(se.voltage.magnitude, se2.voltage.magnitude,
                                atol=1e-12)
+
+
+def test_print_format_contract(data_path):
+    """Reference keyword contract (print/powerSystem.jl:1-52): per-column
+    fmt/width/show dicts, repeat headers, style/delimiter, title, label."""
+    import pytest
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    analysis = newton_raphson(system)
+    power_flow(analysis)
+    ac_power(analysis)
+
+    buf = io.StringIO()
+    # per-column fmt (printf style like the reference) + width + show
+    out = jg.print_bus_data(
+        analysis, file=buf,
+        fmt={"Voltage Magnitude": "%.2f"},
+        width={"Voltage Angle": 25},
+        show={"Power Demand Reactive": False})
+    assert "Power Demand Reactive" not in out
+    header = next(l for l in out.splitlines() if "Voltage Angle" in l)
+    cell = [c for c in header.split("|") if "Voltage Angle" in c][0]
+    assert len(cell) >= 27  # 25 + padding
+    row = out.splitlines()[-2]
+    vm_col = [c.strip() for c in row.split("|")][2]
+    assert len(vm_col.split(".")[-1]) == 2  # %.2f applied
+
+    # repeat headers
+    out = jg.print_bus_data(analysis, file=buf, repeat=5)
+    assert out.count("Voltage Magnitude") >= 3  # 14 rows / 5 per block
+
+    # delimiter style off (reference style=false CSV-ish output)
+    out = jg.print_bus_data(analysis, file=buf, style=False, delimiter=";")
+    assert "+--" not in out and ";" in out
+
+    # title override + header/footer suppression
+    out = jg.print_bus_data(analysis, file=buf, title="Custom",
+                            header=False)
+    assert out.startswith("Custom") and "Voltage Magnitude" not in out
+
+    # label filtering on data and meter printers
+    out = jg.print_bus_data(analysis, file=buf,
+                        label=system.bus.label.label(2))
+    assert out.count("\n") < 10
+
+    from juliagrid_tpu.measurement.devices import add_voltmeter
+    from juliagrid_tpu.measurement.load import measurement
+    monitoring = measurement(system)
+    add_voltmeter(monitoring, analysis=analysis)
+    out = jg.print_voltmeter_data(monitoring, file=buf,
+                              label=monitoring.voltmeter.label.label(1),
+                                  fmt={"Measurement Mean": "%.3f"})
+    assert out.count("\n") < 10
+
+    # unknown keywords are rejected, not silently dropped
+    with pytest.raises(TypeError):
+        jg.print_bus_data(analysis, file=buf, nonsense=1)
