@@ -167,10 +167,12 @@ def config2_dc_fdpf_118():
 # Config 3: batched Monte-Carlo GN WLS SE, SCADA+PMU, IEEE 118
 # ---------------------------------------------------------------------------
 
-def _se_scenarios(arr, nscen, spread=0.5, rng_seed=3):
+def _se_scenarios(arr_host, nscen, spread=0.5, rng_seed=3):
+    """arr_host must be the HOST mirror (device readbacks through the
+    tunnel cost ~2 min each)."""
     rng = np.random.default_rng(rng_seed)
-    base = np.asarray(arr.mean)
-    sigma = 1.0 / np.sqrt(np.asarray(arr.w))
+    base = np.asarray(arr_host.mean)
+    sigma = 1.0 / np.sqrt(np.asarray(arr_host.w))
     return base[None, :] + spread * sigma[None, :] * rng.standard_normal(
         (nscen, len(base)))
 
@@ -204,17 +206,17 @@ def config3_se118(on_tpu):
 
     system = _case("case118.m")
     mon, pf = _scada_pmu(system)
-    arr, _, _ = compile_se_arrays(system, mon)
+    arr, _, _, arr_h = compile_se_arrays(system, mon, return_host=True)
     net = compile_ac_arrays(system)
     n = system.bus.number
-    rows = int(np.asarray(arr.mean).shape[0])
+    rows = int(arr_h.mean.shape[0])
 
     # chunked like config 5: one 1024-scenario while_loop was exactly the
     # shape that OOM-killed the round-2 bench on the 16 GB chip
     nscen = 1024 if on_tpu else 64
     chunk = _pick_chunk(rows, n, cap=128) if on_tpu else 16
     hbm_gb = _se_hbm_gb(chunk, rows, n)
-    means = _se_scenarios(arr, nscen)
+    means = _se_scenarios(arr_h, nscen)
     vm0 = jnp.asarray(np.tile(system.bus.voltage.magnitude.array[:n],
                               (chunk, 1)))
     va0 = jnp.asarray(np.tile(system.bus.voltage.angle.array[:n],
@@ -404,17 +406,16 @@ def _config5_se(out, on_tpu):
 
     system = _case("case1354pegase.h5")
     mon, pf = _scada_pmu(system, pmu_every=10)
-    arr, _, _ = compile_se_arrays(system, mon)
+    arr, _, _, arr_h = compile_se_arrays(system, mon, return_host=True)
     net = compile_ac_arrays(system)
     n = system.bus.number
+    rows = int(arr_h.mean.shape[0])
 
     nscen = 256 if on_tpu else 4
-    chunk = _pick_chunk(int(np.asarray(arr.mean).shape[0]), n, cap=8) \
-        if on_tpu else 2
+    chunk = _pick_chunk(rows, n, cap=8) if on_tpu else 2
     out["se_chunk"] = chunk
-    out["se_hbm_est_gb"] = _se_hbm_gb(
-        chunk, int(np.asarray(arr.mean).shape[0]), n)
-    means = _se_scenarios(arr, nscen)
+    out["se_hbm_est_gb"] = _se_hbm_gb(chunk, rows, n)
+    means = _se_scenarios(arr_h, nscen)
     vm0 = np.tile(system.bus.voltage.magnitude.array[:n], (chunk, 1))
     va0 = np.tile(system.bus.voltage.angle.array[:n], (chunk, 1))
     vm0 = jnp.asarray(vm0)
@@ -448,10 +449,9 @@ def _config5_se(out, on_tpu):
         "se_fw_solves_per_s": round(rate_fw, 2),
         "se_cpu_solves_per_s": round(rate_cpu, 2),
         "se_speedup": round(rate_fw / rate_cpu, 2),
-        "se_rows": int(np.asarray(arr.mean).shape[0]),
+        "se_rows": rows,
         "se_10k_projected_s": round(10000 / rate_fw, 1),
-        "se_achieved_tflops": _se_tflops(
-            total_iters, int(np.asarray(arr.mean).shape[0]), n, t_fw),
+        "se_achieved_tflops": _se_tflops(total_iters, rows, n, t_fw),
     })
 
 

@@ -99,7 +99,7 @@ def run_10k(n_blocks=16):
     err_va = float(np.max(np.abs(se.voltage.angle - pf.voltage.angle)))
     out["se_bbd"] = {
         "blocks": n_blocks,
-        "rows": int(np.asarray(se.arrays.mean).shape[0]),
+        "rows": len(se.method.row_device),
         "states": 2 * system.bus.number,
         "converged": bool(se.method.converged),
         "iterations": int(se.method.iteration),

@@ -37,6 +37,7 @@ from ..ops import linalg
 from ..system.model import model
 from ..system.types import PowerSystem
 from ..powerflow.ac import AcArrays, Polar, compile_ac_arrays
+from ..utils.errors import MethodError_
 
 # Branch-row group evaluation order (static): (type_code, coeff_fn, eval_fn)
 BRANCH_GROUPS = (
@@ -144,7 +145,8 @@ class AcStateEstimation:
                        slack=rev.slack)
 
 
-def compile_se_arrays(system: PowerSystem, monitoring):
+def compile_se_arrays(system: PowerSystem, monitoring,
+                      return_host: bool = False):
     """Build the measurement-row IR (reference acWLS, :77-259): rows in
     device order — voltmeters, ammeters, wattmeters, varmeters, PMUs (PMUs
     contribute two rows each)."""
@@ -320,12 +322,12 @@ def compile_se_arrays(system: PowerSystem, monitoring):
         phi_all = system.branch.parameter.shift_angle.array[
             : system.branch.number]
         groups.append(BranchGroup(
-            rows=jnp.asarray(np.asarray(rows_, dtype=np.int32)),
-            f=jnp.asarray(f_all[brs_np].astype(np.int32)),
-            t=jnp.asarray(t_all[brs_np].astype(np.int32)),
-            a=jnp.asarray(co.a), b=jnp.asarray(co.b),
-            c=jnp.asarray(co.c), d=jnp.asarray(co.d),
-            phi=jnp.asarray(phi_all[brs_np])))
+            rows=np.asarray(rows_, dtype=np.int32),
+            f=f_all[brs_np].astype(np.int32),
+            t=t_all[brs_np].astype(np.int32),
+            a=np.asarray(co.a), b=np.asarray(co.b),
+            c=np.asarray(co.c), d=np.asarray(co.d),
+            phi=np.asarray(phi_all[brs_np])))
 
     def _inj_entries(rows_list, bus_list):
         ent_meas, ent_k = [], []
@@ -333,36 +335,43 @@ def compile_se_arrays(system: PowerSystem, monitoring):
             ks = np.flatnonzero(yrows == b_)
             ent_meas.extend([r_] * len(ks))
             ent_k.extend(ks.tolist())
-        return (jnp.asarray(np.asarray(ent_meas, dtype=np.int32)),
-                jnp.asarray(np.asarray(ent_k, dtype=np.int32)))
+        return (np.asarray(ent_meas, dtype=np.int32),
+                np.asarray(ent_k, dtype=np.int32))
 
     p_ent_meas, p_ent_k = _inj_entries(p_rows, p_bus)
     q_ent_meas, q_ent_k = _inj_entries(q_rows, q_bus)
 
-    arr = SeArrays(
-        mean=jnp.asarray(np.asarray(mean)),
-        w=jnp.asarray(np.asarray(w)),
-        status=jnp.asarray(np.asarray(status)),
-        pair_r1=jnp.asarray(np.asarray(pair_r1, dtype=np.int32)),
-        pair_r2=jnp.asarray(np.asarray(pair_r2, dtype=np.int32)),
-        pair_off=jnp.asarray(np.asarray(pair_off)),
-        slack=jnp.asarray(system.bus.layout.slack, dtype=jnp.int32),
-        vm_rows=jnp.asarray(np.asarray(vm_rows, dtype=np.int32)),
-        vm_bus=jnp.asarray(np.asarray(vm_bus, dtype=np.int32)),
-        va_rows=jnp.asarray(np.asarray(va_rows, dtype=np.int32)),
-        va_bus=jnp.asarray(np.asarray(va_bus, dtype=np.int32)),
-        rev_rows=jnp.asarray(np.asarray(rev_rows, dtype=np.int32)),
-        rev_bus=jnp.asarray(np.asarray(rev_bus, dtype=np.int32)),
-        imv_rows=jnp.asarray(np.asarray(imv_rows, dtype=np.int32)),
-        imv_bus=jnp.asarray(np.asarray(imv_bus, dtype=np.int32)),
+    # host mirror first, device pytree second: compile/routing consumers
+    # (the BBD builders, bench scenario generators) read the host mirror —
+    # a device->host readback through the axon tunnel costs ~2 min each
+    arr_host = SeArrays(
+        mean=np.asarray(mean, dtype=np.float64),
+        w=np.asarray(w, dtype=np.float64),
+        status=np.asarray(status, dtype=np.float64),
+        pair_r1=np.asarray(pair_r1, dtype=np.int32),
+        pair_r2=np.asarray(pair_r2, dtype=np.int32),
+        pair_off=np.asarray(pair_off, dtype=np.float64),
+        slack=np.int32(system.bus.layout.slack),
+        vm_rows=np.asarray(vm_rows, dtype=np.int32),
+        vm_bus=np.asarray(vm_bus, dtype=np.int32),
+        va_rows=np.asarray(va_rows, dtype=np.int32),
+        va_bus=np.asarray(va_bus, dtype=np.int32),
+        rev_rows=np.asarray(rev_rows, dtype=np.int32),
+        rev_bus=np.asarray(rev_bus, dtype=np.int32),
+        imv_rows=np.asarray(imv_rows, dtype=np.int32),
+        imv_bus=np.asarray(imv_bus, dtype=np.int32),
         branch=tuple(groups),
-        p_rows=jnp.asarray(np.asarray(p_rows, dtype=np.int32)),
-        p_bus=jnp.asarray(np.asarray(p_bus, dtype=np.int32)),
+        p_rows=np.asarray(p_rows, dtype=np.int32),
+        p_bus=np.asarray(p_bus, dtype=np.int32),
         p_ent_meas=p_ent_meas, p_ent_k=p_ent_k,
-        q_rows=jnp.asarray(np.asarray(q_rows, dtype=np.int32)),
-        q_bus=jnp.asarray(np.asarray(q_bus, dtype=np.int32)),
+        q_rows=np.asarray(q_rows, dtype=np.int32),
+        q_bus=np.asarray(q_bus, dtype=np.int32),
         q_ent_meas=q_ent_meas, q_ent_k=q_ent_k,
     )
+    import jax
+    arr = jax.tree.map(jnp.asarray, arr_host)
+    if return_host:
+        return arr, np.asarray(types, dtype=np.int8), row_device, arr_host
     return arr, np.asarray(types, dtype=np.int8), row_device
 
 
@@ -648,7 +657,7 @@ def gauss_newton(monitoring, factorization: str = linalg.LU
         if np.any(corr & ~polar):
             # reference acStateEstimation.jl:47-49: the 2x2 off-diagonal
             # precision blocks cannot ride the W^1/2 H orthogonal path
-            raise ValueError(
+            raise MethodError_(
                 "A non-diagonal precision matrix prevents the use of the "
                 "select method.")
     arr, types, row_device = compile_se_arrays(system, monitoring)

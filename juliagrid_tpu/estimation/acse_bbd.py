@@ -48,6 +48,7 @@ from ..ops.partition import nd_partition
 from ..powerflow.ac import Polar, compile_ac_arrays
 from ..system.model import model
 from ..system.types import PowerSystem
+from ..utils.errors import MethodError_
 from .acse import (AcStateEstimation, SeMethod, compile_se_arrays,
                    h_entries, h_entry_pattern)
 
@@ -87,10 +88,14 @@ class _SeBbdLayout:
 
 
 def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
-    arr, types, row_device = compile_se_arrays(system, monitoring)
+    # all routing below reads the HOST mirrors (arr_h) — device->host
+    # readbacks through the axon tunnel cost ~2 min each and made the
+    # on-chip 10k build hang in round 2
+    arr, types, row_device, arr_h = compile_se_arrays(
+        system, monitoring, return_host=True)
     net = compile_ac_arrays(system)
-    if np.asarray(arr.pair_r1).shape[0]:
-        raise ValueError(
+    if arr_h.pair_r1.shape[0]:
+        raise MethodError_(
             "A non-diagonal precision matrix prevents the use of the "
             "BBD method; use the dense Normal path.")
     n = system.bus.number
@@ -112,8 +117,11 @@ def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
         bus_slot[g] = np.arange(len(g))
     bus_slot[border] = np.arange(len(border))
 
-    ent_rows, ent_cols = h_entry_pattern(arr, net, n, xp=np)
-    m = int(np.asarray(arr.mean).shape[0])
+    from ..powerflow.ac import ac_entry_host
+    net_rows, net_cols_h, _vals, _diag = ac_entry_host(system)
+    net_h = net._replace(cols=net_cols_h)
+    ent_rows, ent_cols = h_entry_pattern(arr_h, net_h, n, xp=np)
+    m = int(arr_h.mean.shape[0])
 
     # row -> block: the block of any interior variable it touches (the
     # squared-pattern partition guarantees uniqueness); border-only rows
@@ -177,7 +185,7 @@ def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
         lcol_bdr[e] = s + (lb if is_mag[e] else 0)
 
     # masks: real slots active; slack angle pinned
-    slack = int(np.asarray(arr.slack))
+    slack = int(arr_h.slack)
     mask_int = np.zeros((k, 2 * ni))
     for b, g in enumerate(groups):
         mask_int[b, :len(g)] = 1.0

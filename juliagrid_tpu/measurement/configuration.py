@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from .types import Measurement
+from ..utils.errors import StatusCountError
 
 _rng = np.random.default_rng()
 
@@ -28,9 +29,17 @@ def _apply(statuses, inservice=None, outservice=None, redundancy=None,
     if redundancy is not None:
         inservice = int(round(redundancy * (2 * n_buses - 1)))
     if inservice is not None:
-        keep = min(int(inservice), total)
+        if int(inservice) > total:
+            raise StatusCountError(
+                "The total number of available devices is less than the "
+                "requested number for a status change.")
+        keep = int(inservice)
     elif outservice is not None:
-        keep = total - min(int(outservice), total)
+        if int(outservice) > total:
+            raise StatusCountError(
+                "The total number of available devices is less than the "
+                "requested number for a status change.")
+        keep = total - int(outservice)
     else:
         return
     order = _rng.permutation(total)
@@ -83,9 +92,17 @@ def _apply_where(meter, mask, inservice, outservice, redundancy, n_buses):
     if redundancy is not None:
         inservice = int(round(redundancy * (2 * n_buses - 1)))
     if inservice is not None:
-        keep = min(int(inservice), total)
+        if int(inservice) > total:
+            raise StatusCountError(
+                "The total number of available devices is less than the "
+                "requested number for a status change.")
+        keep = int(inservice)
     elif outservice is not None:
-        keep = total - min(int(outservice), total)
+        if int(outservice) > total:
+            raise StatusCountError(
+                "The total number of available devices is less than the "
+                "requested number for a status change.")
+        keep = total - int(outservice)
     else:
         return
     chosen = set(_rng.permutation(total)[:keep].tolist())

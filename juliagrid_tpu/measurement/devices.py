@@ -20,6 +20,7 @@ from ..templates import template
 from ..units import base_current_inv, topu, units
 from ..system.types import check_status
 from .types import Measurement
+from ..utils.errors import DeviceStatusError, VarianceError
 
 _rng = np.random.default_rng()
 
@@ -35,7 +36,7 @@ def _meter_value(mean, variance, status, noise, def_variance, def_status,
     """Reference meterValue (measurement/utility.jl:29-51)."""
     var = topu(variance, def_variance, pfx_live, base_inv)
     if var <= 0:
-        raise ValueError("the variance must be positive")
+        raise VarianceError("the variance must be positive")
     st = check_status(status if status is not None else def_status)
     measure = topu(mean, (0.0, True), pfx_live, base_inv) \
         if mean is not None else 0.0
@@ -47,7 +48,7 @@ def _meter_value(mean, variance, status, noise, def_variance, def_status,
 def _wide_status(status, default):
     st = int(status) if status is not None else int(default)
     if st not in (-1, 0, 1):
-        raise ValueError(f"the status {st} is not allowed")
+        raise DeviceStatusError(f"the status {st} is not allowed")
     return st
 
 

@@ -96,7 +96,72 @@ class _DcSpec:
             gen.layout.bus.array[:g].astype(np.int32))
         self.gen_on = gen.layout.status.array[:g] == 1
 
-        # piecewise helpers
+        self._build_objective(system)
+        self.n_h = len(self.pw_gens)
+        self.n_x = n + g + self.n_h
+
+        cap_lo, cap_hi, fix_p = [], [], []
+        for i in range(g):
+            if not self.gen_on[i]:
+                continue
+            lo = gen.capability.min_active[i]
+            hi = gen.capability.max_active[i]
+            if np.isfinite(lo) and lo == hi:
+                # fixed output: an equality row, not two opposing
+                # inequalities (their slacks could never both stay > 0)
+                fix_p.append((i, float(lo)))
+                continue
+            if np.isfinite(lo):
+                cap_lo.append((i, float(lo)))
+            if np.isfinite(hi):
+                cap_hi.append((i, float(hi)))
+        self.cap_lo = cap_lo
+        self.cap_hi = cap_hi
+        self.fix_p = fix_p
+
+        m = system.branch.number
+        br = system.branch
+        flows = []
+        for k in range(m):
+            if br.layout.status[k] != 1:
+                continue
+            lo = br.flow.min_from_bus[k]
+            hi = br.flow.max_from_bus[k]
+            if (lo != 0.0 and np.isfinite(lo)) or (hi != 0.0
+                                                   and np.isfinite(hi)):
+                adm = system.model.dc.admittance[k]
+                flows.append((int(br.layout.from_bus[k]),
+                              int(br.layout.to_bus[k]),
+                              float(adm), float(br.parameter.shift_angle[k]),
+                              float(lo), float(hi), k))
+        self.flows = flows
+
+        angles = []
+        two_pi = 2 * np.pi
+        for k in range(m):
+            if br.layout.status[k] != 1:
+                continue
+            lo = br.voltage.min_diff_angle[k] if len(
+                br.voltage.min_diff_angle) else -two_pi
+            hi = br.voltage.max_diff_angle[k] if len(
+                br.voltage.max_diff_angle) else two_pi
+            meaningful = ((np.isfinite(lo) and lo not in (0.0, -two_pi))
+                          or (np.isfinite(hi) and hi not in (0.0, two_pi)))
+            if meaningful:
+                angles.append((int(br.layout.from_bus[k]),
+                               int(br.layout.to_bus[k]), float(lo),
+                               float(hi), k))
+        self.angles = angles
+
+        self._finalize()
+
+    def _build_objective(self, system):
+        """(Re)derive the cost arrays and piecewise cuts from the system
+        (reference addObjective/addPiecewise, acOptimalPowerFlow.jl:377-484
+        DC variant). Live cost edits re-run this; if the epigraph helper
+        count changes the caller must rebuild the spec (state size)."""
+        g = self.g
+        gen = system.generator
         self.pw_gens = []       # gens with >2 piecewise points
         self.pw_cuts = []       # (gen_pos_in_x, helper_pos, slope, intercept)
         self.obj_quad = np.zeros(g)
@@ -141,75 +206,27 @@ class _DcSpec:
                     raise ValueError(
                         "piecewise cost requires at least two points")
 
-        self.n_h = len(self.pw_gens)
-        self.n_x = n + g + self.n_h
-
-        # inequality bookkeeping (kind, info) in order of c_I entries
-        self.ineq_tags = []
-
-        cap_lo, cap_hi, fix_p = [], [], []
-        for i in range(g):
-            if not self.gen_on[i]:
-                continue
-            lo = gen.capability.min_active[i]
-            hi = gen.capability.max_active[i]
-            if np.isfinite(lo) and lo == hi:
-                # fixed output: an equality row, not two opposing
-                # inequalities (their slacks could never both stay > 0)
-                fix_p.append((i, float(lo)))
-                continue
+    def _finalize(self):
+        """Rebuild the inequality tag registry in the EXACT emission order
+        of ``ineq`` (all capability mins, all maxes, flows min/max per
+        branch, angles, piecewise cuts) so the dual harvest stays aligned;
+        live edits (opf/edit.py) re-run this after list surgery."""
+        tags = []
+        for i, _ in self.cap_lo:
+            tags.append(("capability_min", i))
+        for i, _ in self.cap_hi:
+            tags.append(("capability_max", i))
+        for (_f, _t, _adm, _phi, lo, hi, k) in self.flows:
             if np.isfinite(lo):
-                cap_lo.append((i, float(lo)))
-                self.ineq_tags.append(("capability_min", i))
+                tags.append(("flow_min", k))
             if np.isfinite(hi):
-                cap_hi.append((i, float(hi)))
-                self.ineq_tags.append(("capability_max", i))
-        self.cap_lo = cap_lo
-        self.cap_hi = cap_hi
-        self.fix_p = fix_p
-
-        m = system.branch.number
-        br = system.branch
-        flows = []
-        for k in range(m):
-            if br.layout.status[k] != 1:
-                continue
-            lo = br.flow.min_from_bus[k]
-            hi = br.flow.max_from_bus[k]
-            if (lo != 0.0 and np.isfinite(lo)) or (hi != 0.0
-                                                   and np.isfinite(hi)):
-                adm = system.model.dc.admittance[k]
-                flows.append((int(br.layout.from_bus[k]),
-                              int(br.layout.to_bus[k]),
-                              float(adm), float(br.parameter.shift_angle[k]),
-                              float(lo), float(hi), k))
-                if np.isfinite(lo):
-                    self.ineq_tags.append(("flow_min", k))
-                if np.isfinite(hi):
-                    self.ineq_tags.append(("flow_max", k))
-        self.flows = flows
-
-        angles = []
-        two_pi = 2 * np.pi
-        for k in range(m):
-            if br.layout.status[k] != 1:
-                continue
-            lo = br.voltage.min_diff_angle[k] if len(
-                br.voltage.min_diff_angle) else -two_pi
-            hi = br.voltage.max_diff_angle[k] if len(
-                br.voltage.max_diff_angle) else two_pi
-            meaningful = ((np.isfinite(lo) and lo not in (0.0, -two_pi))
-                          or (np.isfinite(hi) and hi not in (0.0, two_pi)))
-            if meaningful:
-                angles.append((int(br.layout.from_bus[k]),
-                               int(br.layout.to_bus[k]), float(lo),
-                               float(hi), k))
-                self.ineq_tags.append(("angle_min", k))
-                self.ineq_tags.append(("angle_max", k))
-        self.angles = angles
-
-        for (gi, hpos, slope, icept) in self.pw_cuts:
-            self.ineq_tags.append(("piecewise", gi))
+                tags.append(("flow_max", k))
+        for (_f, _t, _lo, _hi, k) in self.angles:
+            tags.append(("angle_min", k))
+            tags.append(("angle_max", k))
+        for (gi, _hpos, _slope, _icept) in self.pw_cuts:
+            tags.append(("piecewise", gi))
+        self.ineq_tags = tags
 
     def init_helpers(self, x0):
         """Initialize epigraph helpers to the piecewise cost at the starting
@@ -340,8 +357,19 @@ def solve(analysis: DcOptimalPowerFlow, max_iter: int = 200,
         objective=spec.objective,
         eq=spec.eq,
         ineq=spec.ineq if has_ineq else None)
+    # dual carry across live edits, guarded by the constraint layout
+    # (reference setdual/transferdual!, optimalPowerFlow/utility.jl)
+    layout = (spec.n, tuple(spec.ineq_tags),
+              tuple(i for i, _ in spec.fix_p))
+    warm = None
+    prev = getattr(analysis.method, "result", None)
+    if getattr(analysis, "_carry_duals", False) and prev is not None \
+            and getattr(analysis.method, "_warm_layout", None) == layout:
+        warm = (prev.y, prev.z, prev.s)
+    analysis._carry_duals = False
     res = solve_nlp(problem, analysis._x0, max_iter=max_iter,
-                    tol=tolerance, verbose=verbose)
+                    tol=tolerance, verbose=verbose, warm_duals=warm)
+    analysis.method._warm_layout = layout
     analysis.method.result = res
     analysis.method.iteration = res.iterations
     analysis.method.converged = res.converged

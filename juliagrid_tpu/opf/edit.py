@@ -28,24 +28,35 @@ import numpy as np
 from ..system.builders import cost as _cost_builder
 from ..system.builders import update_bus, update_generator
 from .acopf import AcOptimalPowerFlow
+from .dcopf import DcOptimalPowerFlow
 
 _VARS = ("magnitude", "active", "reactive")
+_DC_VARS = ("active",)
 
 
-def _live_spec(analysis: AcOptimalPowerFlow):
-    if not isinstance(analysis, AcOptimalPowerFlow):
+def _live_spec(analysis):
+    if not isinstance(analysis, (AcOptimalPowerFlow, DcOptimalPowerFlow)):
         raise ValueError(
-            "live OPF edits require an AC optimal power flow analysis")
+            "live OPF edits require an AC or DC optimal power flow "
+            "analysis")
     analysis._refresh_spec()
     return analysis._spec
 
 
-def _recapture(analysis: AcOptimalPowerFlow):
+def _is_dc(analysis):
+    return isinstance(analysis, DcOptimalPowerFlow)
+
+
+def _recapture(analysis):
     """Mark the patched spec current for the system's revision counters and
     arm the dual carry for the next solve."""
     rev = analysis.system.model.revision
-    key = (rev.ac_model, rev.ac_pattern, rev.ac_optimization,
-           rev.injection, rev.slack, rev.type)
+    if _is_dc(analysis):
+        key = (rev.dc_model, rev.dc_pattern, rev.dc_optimization,
+               rev.injection, rev.slack)
+    else:
+        key = (rev.ac_model, rev.ac_pattern, rev.ac_optimization,
+               rev.injection, rev.slack, rev.type)
     analysis.signature = {"key": key}
     analysis._carry_duals = True
     if analysis._x0 is not None:
@@ -108,13 +119,31 @@ def _bounds_of(spec, system, variable, label):
     raise ValueError(f"variable must be one of {_VARS}, got {variable!r}")
 
 
-def set_bound(analysis: AcOptimalPowerFlow, *, variable: str, label,
-              min=None, max=None):
+def set_bound(analysis, *, variable: str, label, min=None, max=None):
     """Reference setBound! / JuMP set_lower_bound/set_upper_bound on the
     live model (optimalPowerFlow/utility.jl:634-647). ``variable`` is
-    ``magnitude`` (bus), ``active`` or ``reactive`` (generator)."""
+    ``magnitude`` (bus), ``active`` or ``reactive`` (generator); the DC
+    model carries only ``active``."""
     spec = _live_spec(analysis)
     system = analysis.system
+    if _is_dc(analysis):
+        if variable != "active":
+            raise ValueError(
+                "the DC optimal power flow model carries only the active "
+                f"generator output variable, got {variable!r}")
+        update_generator(system, label, min_active=min, max_active=max)
+        i = system.generator.label.index(label)
+        if not spec.gen_on[i]:
+            raise ValueError(
+                "The variable belongs to an out-of-service generator; its "
+                "output is fixed at zero and has no bounds to set.")
+        cap = system.generator.capability
+        _rebuild_membership(spec, i, float(cap.min_active[i]),
+                            float(cap.max_active[i]),
+                            spec.cap_lo, spec.cap_hi, spec.fix_p)
+        spec._finalize()
+        _recapture(analysis)
+        return analysis
     if variable == "magnitude":
         update_bus(system, label, min_magnitude=min, max_magnitude=max)
     elif variable == "active":
@@ -135,18 +164,29 @@ def set_bound(analysis: AcOptimalPowerFlow, *, variable: str, label,
     return analysis
 
 
-def fix(analysis: AcOptimalPowerFlow, *, variable: str, label, value=None):
+def fix(analysis, *, variable: str, label, value=None):
     """Reference fix! (optimalPowerFlow/utility.jl:525-536): pin a variable
     at ``value`` (default: its current solution / start value). The
     original bounds are remembered for ``unfix``."""
     spec = _live_spec(analysis)
     system = analysis.system
-    i, lo, hi, *_ = _bounds_of(spec, system, variable, label)
-    if value is None:
-        n, g = spec.n, spec.g
-        x0 = np.asarray(analysis._x0)
-        off = {"magnitude": n, "active": 2 * n, "reactive": 2 * n + g}
-        value = float(x0[off[variable] + i])
+    if _is_dc(analysis):
+        if variable != "active":
+            raise ValueError(
+                "the DC optimal power flow model carries only the active "
+                f"generator output variable, got {variable!r}")
+        i = system.generator.label.index(label)
+        cap = system.generator.capability
+        lo, hi = float(cap.min_active[i]), float(cap.max_active[i])
+        if value is None:
+            value = float(np.asarray(analysis._x0)[spec.n + i])
+    else:
+        i, lo, hi, *_ = _bounds_of(spec, system, variable, label)
+        if value is None:
+            n, g = spec.n, spec.g
+            x0 = np.asarray(analysis._x0)
+            off = {"magnitude": n, "active": 2 * n, "reactive": 2 * n + g}
+            value = float(x0[off[variable] + i])
     # the pre-fix bounds live on the analysis (not the spec): update_cost's
     # multi-segment path rebuilds a fresh _AcSpec, and the bookkeeping must
     # survive that so unfix can restore the original capability data
@@ -157,12 +197,15 @@ def fix(analysis: AcOptimalPowerFlow, *, variable: str, label, value=None):
                      min=value, max=value)
 
 
-def unfix(analysis: AcOptimalPowerFlow, *, variable: str, label):
+def unfix(analysis, *, variable: str, label):
     """Reference unfix! (optimalPowerFlow/utility.jl:538-544): release a
     fixed variable back to the bounds it had before ``fix``."""
     spec = _live_spec(analysis)
     system = analysis.system
-    i, *_ = _bounds_of(spec, system, variable, label)
+    if _is_dc(analysis):
+        i = system.generator.label.index(label)
+    else:
+        i, *_ = _bounds_of(spec, system, variable, label)
     try:
         lo, hi = getattr(analysis, "_prefix_bounds", {}).pop((variable, i))
     except KeyError:
@@ -173,14 +216,35 @@ def unfix(analysis: AcOptimalPowerFlow, *, variable: str, label):
                      min=lo, max=hi)
 
 
-def remove_constraint(analysis: AcOptimalPowerFlow, *, constraint: str,
-                      label):
+def remove_constraint(analysis, *, constraint: str, label):
     """Reference remove! on a live analysis (optimalPowerFlow/
     utility.jl:546-632): drop a constraint group member from the model
     without touching the system data — rebuilding the analysis restores
     it, exactly like re-running the reference's builder."""
     spec = _live_spec(analysis)
     system = analysis.system
+    if _is_dc(analysis):
+        if constraint == "flow":
+            i = system.branch.label.index(label)
+            spec.flows = [f for f in spec.flows if f[6] != i]
+        elif constraint == "angle":
+            i = system.branch.label.index(label)
+            spec.angles = [a for a in spec.angles if a[4] != i]
+        elif constraint == "capability":
+            i = system.generator.label.index(label)
+            _drop(spec.cap_lo, i)
+            _drop(spec.cap_hi, i)
+        elif constraint == "balance":
+            raise ValueError(
+                "The power balance constraints cannot be removed from the "
+                "DC optimal power flow model; deactivate the bus instead.")
+        else:
+            raise ValueError(
+                "constraint must be one of ('flow', 'angle', "
+                f"'capability'), got {constraint!r}")
+        spec._finalize()
+        _recapture(analysis)
+        return analysis
     if constraint == "flow":
         i = system.branch.label.index(label)
         spec.flows = [f for f in spec.flows if f[0] != i]
@@ -209,8 +273,7 @@ def remove_constraint(analysis: AcOptimalPowerFlow, *, constraint: str,
     return analysis
 
 
-def update_demand(analysis: AcOptimalPowerFlow, label, *, active=None,
-                  reactive=None):
+def update_demand(analysis, label, *, active=None, reactive=None):
     """Reference updateBus!(system, analysis; ...) on demand: a value-only
     edit — the balance right-hand side rides the params pytree, so the
     re-solve hits the XLA compile cache (bus.jl:260-308 overload)."""
@@ -218,9 +281,16 @@ def update_demand(analysis: AcOptimalPowerFlow, label, *, active=None,
     system = analysis.system
     update_bus(system, label, active=active, reactive=reactive)
     n = system.bus.number
-    spec.pd = np.asarray(system.bus.demand.active.array[:n]).copy()
-    spec.qd = np.asarray(system.bus.demand.reactive.array[:n]).copy()
-    spec.params = spec._make_params()
+    if _is_dc(analysis):
+        import jax.numpy as jnp
+        spec.rhs = jnp.asarray(
+            system.bus.demand.active.array[:n]
+            + system.bus.shunt.conductance.array[:n]
+            + system.model.dc.shift_power)
+    else:
+        spec.pd = np.asarray(system.bus.demand.active.array[:n]).copy()
+        spec.qd = np.asarray(system.bus.demand.reactive.array[:n]).copy()
+        spec.params = spec._make_params()
     _recapture(analysis)
     return analysis
 
@@ -240,6 +310,20 @@ def update_cost(analysis: AcOptimalPowerFlow, label, *, active=None,
     i = system.generator.label.index(label)
     if not spec.gen_on[i]:
         return analysis  # off generators carry no objective term
+
+    if _is_dc(analysis):
+        old_pw = list(spec.pw_gens)
+        spec._build_objective(system)
+        if spec.pw_gens != old_pw:
+            # epigraph helper layout changed: state size/slot mapping
+            # moved, take the signature-gated full rebuild
+            analysis.signature = None
+            analysis._refresh_spec()
+            analysis._carry_duals = True
+            return analysis
+        spec._finalize()
+        _recapture(analysis)
+        return analysis
 
     # splice every edited side: active= and reactive= can be passed
     # together (the system builder updates both), and the live spec must

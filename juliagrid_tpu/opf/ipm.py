@@ -297,7 +297,8 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
         dx = -d * linalg.solve(linalg.factorize(a_s, linalg.LU), d * g)
         return dx, 0.5 * (r @ r)
 
-    return step, kkt_error, metrics, resto_step, (c_e, c_i)
+    return step, kkt_error, metrics, resto_step, \
+        (c_e, c_i, grad_f, jac_e, jac_i)
 
 
 def _filter_accepts(filt, theta, phi):
@@ -374,7 +375,8 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     c_i_fn = (lambda xx, pp: pp["gi"] * ineq_raw(xx, pp["p"])) if m_i \
         else None
 
-    step, kkt_error, metrics, resto_step, (c_e, c_i) = _make_fns(
+    step, kkt_error, metrics, resto_step, \
+        (c_e, c_i, grad_f, jac_e, jac_i) = _make_fns(
         f, c_e_fn, c_i_fn, n_x, m_e, m_i)
 
     # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
@@ -459,6 +461,181 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     pinched = 0
     t_start = None  # armed after the first (compile-bearing) iteration
 
+    def _dual_recovery(x_r, s_in, err_now):
+        """Degenerate active sets (LP vertices, piecewise breakpoints)
+        leave the primal converged while the Newton duals thrash on a
+        non-unique multiplier set. Polish the primal onto the active
+        manifold (host-side Gauss-Newton on [c_E; c_A] = 0), then solve
+        the tiny NNLS for the multipliers directly:
+        min ||g - J_E'y - J_A'z_A||, z_A >= 0 over the active
+        inequalities — the dual problem at the known solution.
+        Returns (err, x, y, z, s) on improvement, else None."""
+        best_rec = None
+        for thr in (1e-5, 1e-4, 1e-6, 1e-3):
+            rec = _dual_recovery_at(x_r, s_in, thr)
+            if rec is not None and (best_rec is None
+                                    or rec[0] < best_rec[0]):
+                best_rec = rec
+                if best_rec[0] < tol:
+                    break
+        if best_rec is not None and best_rec[0] < err_now:
+            return best_rec
+        return None
+
+    def _dual_recovery_at(x_r, s_in, thr):
+        """One recovery attempt at active-set threshold ``thr``: polish the
+        primal onto the active manifold, compute NNLS multipliers, and if
+        stationarity still fails, crossover simplex-style — descend along
+        the manifold's null space until a new inequality blocks, adopt it,
+        repeat. Handles epsilon-degenerate optimal edges where the IPM
+        iterate sits a visible distance from the vertex that carries the
+        multipliers."""
+        try:
+            x_np = np.asarray(x_r, dtype=np.float64)
+            if m_i:
+                ci0 = np.asarray(c_i(x_r, pk))
+                scale_ci = max(1.0, float(np.max(np.abs(ci0))))
+                act = ci0 <= thr * scale_ci
+            else:
+                act = np.zeros(0, dtype=bool)
+            f_old = float(f(jnp.asarray(x_np), pk))
+
+            def polish(x_np, act):
+                for _ in range(3):
+                    xj = jnp.asarray(x_np)
+                    parts_r, parts_j = [], []
+                    if m_e:
+                        parts_r.append(np.asarray(c_e(xj, pk)))
+                        parts_j.append(np.asarray(jac_e(xj, pk)))
+                    if m_i and act.any():
+                        parts_r.append(np.asarray(c_i(xj, pk))[act])
+                        parts_j.append(np.asarray(jac_i(xj, pk))[act])
+                    if not parts_r:
+                        return x_np
+                    r_all = np.concatenate(parts_r)
+                    if float(np.max(np.abs(r_all))) < 1e-13:
+                        return x_np
+                    j_all = np.vstack(parts_j)
+                    dx, *_ = np.linalg.lstsq(j_all, -r_all, rcond=None)
+                    if float(np.max(np.abs(dx))) > 1.0:
+                        return x_np
+                    x_np = x_np + dx
+                return x_np
+
+            x_np = polish(x_np, act)
+            best_loc = None
+            for cross in range(8):
+                xj = jnp.asarray(x_np)
+                g_np = np.asarray(grad_f(xj, pk))
+                je_np = np.asarray(jac_e(xj, pk)) if m_e \
+                    else np.zeros((0, n_x))
+                if m_i:
+                    ci_np = np.asarray(c_i(xj, pk))
+                    ji_np = np.asarray(jac_i(xj, pk))
+                    if bool(np.any(ci_np < -1e-9)):
+                        if verbose >= 3:
+                            print(f"        crossover: infeasible "
+                                  f"{float(np.min(ci_np)):.2e}")
+                        break  # infeasible point; keep previous best
+                else:
+                    ci_np = np.zeros(0)
+                    ji_np = np.zeros((0, n_x))
+                if float(f(xj, pk)) > f_old + 1e-6 * max(1.0, abs(f_old)):
+                    if verbose >= 3:
+                        print(f"        crossover: f worsened "
+                              f"{float(f(xj, pk)) - f_old:.2e}")
+                    break  # objective worsened; not a polish any more
+                # NNLS multipliers on the current active set
+                act_try = act.copy()
+                sol = np.zeros(m_e)
+                for _ in range(6):
+                    a_mat = np.vstack([je_np, ji_np[act_try]]).T
+                    sol, *_ = np.linalg.lstsq(a_mat, g_np, rcond=None)
+                    neg = sol[m_e:] < -1e-10
+                    if not neg.any():
+                        break
+                    idxs = np.flatnonzero(act_try)
+                    act_try[idxs[neg]] = False
+                y_r = jnp.asarray(sol[:m_e])
+                z_np = np.zeros(m_i)
+                if m_i:
+                    z_np[act_try] = np.maximum(sol[m_e:], 0.0)
+                z_r = jnp.asarray(z_np)
+                s_r = jnp.maximum(jnp.asarray(ci_np), 1e-12) if m_i \
+                    else s_in
+                err_r = float(kkt_error(xj, y_r, z_r, s_r, 0.0, pk))
+                if verbose >= 2:
+                    print(f"      dual-recovery thr={thr:.0e} "
+                          f"pass={cross}: act={int(act_try.sum())} "
+                          f"-> err {err_r:.2e}")
+                if best_loc is None or err_r < best_loc[0]:
+                    best_loc = (err_r, xj, y_r, z_r, s_r)
+                if err_r < tol or not m_i:
+                    break
+                # crossover: null-space descent until a new row blocks.
+                # Project via the SVD row-space basis — pinv(A) @ (A @ g)
+                # amplifies rounding by cond(A), and A is near-rank-
+                # deficient at exactly the degenerate vertices this
+                # handles.
+                a_rows = np.vstack([je_np, ji_np[act]])
+                if a_rows.size:
+                    sv_u, sv_s, sv_vt = np.linalg.svd(
+                        a_rows, full_matrices=False)
+                    keep = sv_s > (sv_s[0] * 1e-10 if sv_s.size else 0.0)
+                    vr = sv_vt[keep]
+                    d = -(g_np - vr.T @ (vr @ g_np))
+                else:
+                    d = -g_np
+                d_norm = float(np.linalg.norm(d))
+                if verbose >= 3:
+                    print(f"        crossover |d|={d_norm:.2e}")
+                if d_norm < 1e-12 * max(1.0, float(np.linalg.norm(g_np))):
+                    break
+                d = d / d_norm  # unit step so the ratio test is geometric
+                # exact line search on the local quadratic model: the
+                # objective can be quadratic (cost curves), so the walk
+                # must stop at the along-face minimum, not just at the
+                # first blocking row
+                # exact by construction: d = -(I-P)g, so after unit
+                # normalization the slope is -|d|. (The dot product g.d
+                # is numerically useless here: d carries ~eps*|g| rounding
+                # from the projection subtraction, and dividing by the
+                # tiny |d| amplifies it orders above the true slope.)
+                f_slope = -d_norm
+                hvp = np.asarray(jax.jvp(
+                    lambda xx: grad_f(xx, pk), (xj,), (jnp.asarray(d),))[1])
+                curv = float(d @ hvp)
+                t_star = -f_slope / curv if curv > 1e-12 else np.inf
+                inact = np.flatnonzero(~act)
+                slope = ji_np[~act] @ d
+                blocking = slope < -1e-12
+                t_block = np.inf
+                j_block = -1
+                if blocking.any():
+                    ts = ci_np[~act][blocking] / (-slope[blocking])
+                    t_block = float(np.min(ts))
+                    j_block = inact[np.flatnonzero(blocking)[
+                        int(np.argmin(ts))]]
+                t_step = min(t_star, t_block)
+                if verbose >= 3:
+                    print(f"        crossover t={t_step:.3e} "
+                          f"(t*={t_star:.3e} t_block={t_block:.3e} "
+                          f"slope={f_slope:.3e} curv={curv:.3e})")
+                if not np.isfinite(t_step) or t_step > 1e3 \
+                        or t_step <= 0.0:
+                    break
+                x_np = x_np + t_step * d
+                if t_block <= t_star and j_block >= 0:
+                    act[j_block] = True
+                x_np = polish(x_np, act)
+            return best_loc
+        except Exception as exc:
+            if verbose >= 2:
+                import traceback
+                print(f"      dual-recovery exception: {exc!r}")
+                traceback.print_exc()
+            return None  # best-effort: keep the iterate
+
     for it in range(1, max_iter + 1):
         if max_seconds is not None:
             if t_start is None and it == 2:
@@ -514,12 +691,23 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         fv = float(fval)
         if float(theta_k) <= max(10.0 * tol, 1e-7) and \
                 prev_obj is not None and \
-                abs(fv - prev_obj) <= 1e-7 * max(1.0, abs(fv)) and \
-                best is not None and best[0] < acceptable_tol:
+                abs(fv - prev_obj) <= 1e-7 * max(1.0, abs(fv)):
             acceptable_run += 1
             if acceptable_run >= acceptable_iter:
-                converged = True
-                break
+                if best is not None and best[0] < acceptable_tol:
+                    converged = True
+                    break
+                # primal stagnant but duals thrashing (degenerate vertex):
+                # recover multipliers directly instead of iterating on
+                rec = _dual_recovery(x, s, err)
+                if rec is not None and rec[0] < acceptable_tol:
+                    err, x, y, z, s = rec
+                    best = (err, x, y, z, s)
+                    converged = True
+                    if verbose >= 1:
+                        print(f"  ipm dual recovery: kkt -> {err:.3e}")
+                    break
+                acceptable_run = 0  # recovery failed; keep iterating
         else:
             acceptable_run = 0
         prev_obj = fv
@@ -708,6 +896,15 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     if best is not None and best[0] < err:
         err, x, y, z, s = best
         converged = converged or err < tol
+    if err >= tol and (m_e or m_i):
+        theta_x = float(metrics(x, s, 0.0, pk)[1])
+        if theta_x <= max(100.0 * tol, 1e-9 * max(1.0, theta0)):
+            rec = _dual_recovery(x, s, err)
+            if rec is not None:
+                err, x, y, z, s = rec
+                converged = converged or err < tol
+                if verbose >= 1:
+                    print(f"  ipm dual recovery: kkt -> {err:.3e}")
     # Breaks out of the barrier loop (no factorizable KKT, feasible-yet-
     # unsteppable, restoration failure) land here with converged=False even
     # when the best iterate is, for every practical purpose, the solution —

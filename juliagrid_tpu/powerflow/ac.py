@@ -34,6 +34,7 @@ from ..ops import linalg
 from ..report.log import info
 from ..system.model import model
 from ..system.types import PowerSystem
+from ..utils.errors import SlackDefinitionError
 
 
 class AcArrays(NamedTuple):
@@ -50,7 +51,12 @@ class AcArrays(NamedTuple):
     q_sched: jax.Array  # f64[n] supply - demand, reactive
 
 
-def compile_ac_arrays(system: PowerSystem) -> AcArrays:
+def ac_entry_host(system: PowerSystem):
+    """Host-side (rows, cols, vals, diag) of the Y-bus entry list — the
+    numpy source of truth for every compile step. Routing/compile code
+    must use THIS, never ``np.asarray(device_array)``: a device->host pull
+    through the axon tunnel costs ~2 minutes each (remote readback), which
+    is what made the round-2 on-chip builds hang."""
     model(system, "ac")
     coo = system.model.ac.nodal.tocoo()
     order = np.lexsort((coo.col, coo.row))
@@ -58,7 +64,11 @@ def compile_ac_arrays(system: PowerSystem) -> AcArrays:
     cols = coo.col[order].astype(np.int32)
     vals = coo.data[order]
     diag = np.flatnonzero(rows == cols).astype(np.int32)
+    return rows, cols, vals, diag
 
+
+def compile_ac_arrays(system: PowerSystem) -> AcArrays:
+    rows, cols, vals, diag = ac_entry_host(system)
     n = system.bus.number
     return AcArrays(
         rows=jnp.asarray(rows),
@@ -307,7 +317,7 @@ def change_slack_bus(system: PowerSystem):
                  f"The bus labeled {bus.label.label(i)} is the new slack bus.")
             break
     if bus.layout.type[bus.layout.slack] == 1:
-        raise ValueError(
+        raise SlackDefinitionError(
             "No generator buses with an in-service generator are available; "
             "a slack bus cannot be designated.")
 

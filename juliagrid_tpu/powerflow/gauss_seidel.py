@@ -41,12 +41,12 @@ class GsArrays(NamedTuple):
 
 
 def compile_gs_arrays(system: PowerSystem) -> GsArrays:
+    from .ac import ac_entry_host
     base = compile_ac_arrays(system)
     n = system.bus.number
-    rows = np.asarray(base.rows)
-    cols = np.asarray(base.cols)
-    yg = np.asarray(base.yg)
-    yb = np.asarray(base.yb)
+    rows, cols, vals_host, diag_host = ac_entry_host(system)
+    yg = vals_host.real
+    yb = vals_host.imag
 
     counts = np.bincount(rows, minlength=n)
     dmax = int(counts.max())
@@ -61,9 +61,8 @@ def compile_gs_arrays(system: PowerSystem) -> GsArrays:
         yim[i, pos[i]] = yb[k]
         pos[i] += 1
 
-    diag_idx = np.asarray(base.diag)
-    dre = yg[diag_idx]
-    dim = yb[diag_idx]
+    dre = yg[diag_host]
+    dim = yb[diag_host]
 
     vg = np.ones(n)
     for i, gens in system.bus.supply.generator.items():

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..postprocessing.ac import power as ac_power
 from ..report.log import info
+from ..utils.errors import SlackDefinitionError
 
 
 def reactive_limit(analysis):
@@ -72,7 +73,7 @@ def reactive_limit(analysis):
                         break
 
     if bus.layout.type[bus.layout.slack] != 3:
-        raise ValueError(
+        raise SlackDefinitionError(
             "No generator buses with an in-service generator are "
             "available; a slack bus cannot be designated.")
     return violate

@@ -111,8 +111,8 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
     for q, u in enumerate(border):
         bus_slot[u] = q
 
-    rows = np.asarray(base.rows)
-    cols = np.asarray(base.cols)
+    from .ac import ac_entry_host
+    rows, cols, vals_host, _diag = ac_entry_host(system)
     nnz = len(rows)
 
     # quadrant value vector layout: [H(nnz), N(nnz), J(nnz), L(nnz)]
@@ -126,8 +126,8 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
                     int(bus_slot[bus] + (ni if mag else 0)))
         return (-1, int(bus_slot[bus] + (mb if mag else 0)))
 
-    yg_host = np.asarray(base.yg)
-    yb_host = np.asarray(base.yb)
+    yg_host = vals_host.real
+    yb_host = vals_host.imag
     for e in range(nnz):
         i, j = int(rows[e]), int(cols[e])
         for quad, (mi, mj) in enumerate(

@@ -22,6 +22,7 @@ from ..templates import template
 from ..units import topu, units
 from .model import ac_model, dc_model
 from .types import PowerSystem, check_status
+from ..utils.errors import CostError
 
 
 def _nan_default(value, default_pair, shadow):
@@ -466,15 +467,15 @@ def cost(system: PowerSystem, label, *, active=None, reactive=None,
 
     def _set(store, model_tag):
         if model_tag not in (1, 2):
-            raise ValueError("the cost model must be 1 (piecewise) "
-                             "or 2 (polynomial)")
+            raise CostError("the cost model must be 1 (piecewise) "
+                            "or 2 (polynomial)")
         store.model[idx] = model_tag
         if model_tag == 2 and polynomial is not None:
             store.polynomial[idx] = np.asarray(polynomial, dtype=float)
         if model_tag == 1 and piecewise is not None:
             pts = np.asarray(piecewise, dtype=float)
             if pts.ndim != 2 or pts.shape[1] != 2:
-                raise ValueError("piecewise cost must be an (N, 2) matrix")
+                raise CostError("piecewise cost must be an (N, 2) matrix")
             store.piecewise[idx] = pts
 
     if active is not None:

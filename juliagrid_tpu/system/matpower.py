@@ -19,6 +19,7 @@ import numpy as np
 from ..templates import template
 from ..utils.vec import Vec
 from .types import PowerSystem
+from ..utils.errors import MissingDataError
 
 
 def _extract_blocks(text: str) -> dict[str, list[list[str]]]:
@@ -70,7 +71,7 @@ def parse_matpower(system: PowerSystem, path: str) -> None:
 
     bus_rows = blocks.get("bus")
     if not bus_rows:
-        raise ValueError("The bus data is missing.")
+        raise MissingDataError("The bus data is missing.")
 
     bus = system.bus
     n = len(bus_rows)
@@ -117,7 +118,7 @@ def parse_matpower(system: PowerSystem, path: str) -> None:
     # ---- branches --------------------------------------------------------
     br_rows = blocks.get("branch")
     if not br_rows:
-        raise ValueError("The branch data is missing.")
+        raise MissingDataError("The branch data is missing.")
     branch = system.branch
     m = len(br_rows)
     branch.number = m
@@ -151,7 +152,7 @@ def parse_matpower(system: PowerSystem, path: str) -> None:
     # ---- generators ------------------------------------------------------
     gen_rows = blocks.get("gen")
     if not gen_rows:
-        raise ValueError("The generator data is missing.")
+        raise MissingDataError("The generator data is missing.")
     gen = system.generator
     g = len(gen_rows)
     gen.number = g

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..report.log import info
 from .types import PowerSystem
+from ..utils.errors import MissingDataError
 
 
 def _sections(path: str):
@@ -100,7 +101,7 @@ def parse_psse(system: PowerSystem, path: str) -> None:
 
     bus = system.bus
     if not sec[1]:
-        raise ValueError("The bus data is missing.")
+        raise MissingDataError("The bus data is missing.")
 
     master = {}
     for k, line in enumerate(sec[1]):
@@ -404,7 +405,7 @@ def parse_psse(system: PowerSystem, path: str) -> None:
     # generators
     gen = system.generator
     if not sec[7]:
-        raise ValueError("The generator data is missing.")
+        raise MissingDataError("The generator data is missing.")
     for k, line in enumerate(sec[7]):
         d = _fields(line)
         gen.label.add(None)

@@ -22,6 +22,7 @@ import scipy.sparse as sp
 
 from ..utils.labels import LabelRegistry
 from ..utils.vec import Vec
+from ..utils.errors import DeviceStatusError, SlackBusError
 
 
 @dataclass
@@ -305,13 +306,13 @@ class PowerSystem:
 
     def check_slack(self):
         if self.bus.layout.slack < 0:
-            raise ValueError("the slack bus is missing")
+            raise SlackBusError("The slack bus is missing.")
 
 
 def check_status(status) -> int:
     status = int(status)
     if status not in (0, 1):
-        raise ValueError(
+        raise DeviceStatusError(
             f"the status {status} is not allowed; it should be "
             "in-service (1) or out-of-service (0)")
     return status

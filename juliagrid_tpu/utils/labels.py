@@ -7,6 +7,7 @@ auto-numbering and ``"@name ?"`` templating
 """
 
 from __future__ import annotations
+from .errors import LabelError
 
 
 class LabelRegistry:
@@ -35,7 +36,7 @@ class LabelRegistry:
         else:
             self.counter += 1
         if label in self._map:
-            raise KeyError(f"the label {label!r} is not unique")
+            raise LabelError(f"the label {label!r} is not unique")
         self._map[label] = idx
         self._keys.append(label)
         return idx
@@ -44,7 +45,7 @@ class LabelRegistry:
         try:
             return self._map[label]
         except KeyError:
-            raise KeyError(f"the label {label!r} does not exist") from None
+            raise LabelError(f"the label {label!r} does not exist") from None
 
     def label(self, idx: int):
         return self._keys[idx]
