@@ -472,7 +472,11 @@ def main():
         ("config4_lav_baddata_118", config4_lav_baddata_118, ()),
         ("config5_pegase", config5_pegase, (on_tpu,)),
     ]
+    only = os.environ.get("BENCH_ONLY")  # e.g. "1,2,3" for a subset
     for name, fn, args in configs:
+        if only and name.split("_")[0].removeprefix("config") not in \
+                only.split(","):
+            continue
         t0 = time.perf_counter()
         try:
             detail[name] = fn(*args)

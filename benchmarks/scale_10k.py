@@ -82,6 +82,20 @@ def run_10k(n_blocks=16):
         return out
 
     # --- SE on BBD (zero-noise SCADA+PMU reproduces the PF state) -----
+    try:
+        _run_10k_se(out, system, pf, n_blocks)
+    except Exception as exc:
+        out["se_bbd"] = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+    return out
+
+
+def _run_10k_se(out, system, pf, n_blocks):
+    import numpy as np
+
+    from juliagrid_tpu.estimation.acse_bbd import (gauss_newton_bbd,
+                                                   se_bbd_solve)
+    from juliagrid_tpu.postprocessing.ac import power
+
     power(pf)
     mon = _scada_pmu(system, pf)
     t0 = time.perf_counter()
@@ -109,7 +123,6 @@ def run_10k(n_blocks=16):
         "max_err_vs_pf_vm": err_vm,
         "max_err_vs_pf_va": err_va,
     }
-    return out
 
 
 def crossover():

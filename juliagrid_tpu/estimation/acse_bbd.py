@@ -235,15 +235,21 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
 
     w_blk = arr.w[sb.rows_idx] * sb.row_mask
     r_blk = r[sb.rows_idx] * sb.row_mask
-    whi = w_blk[..., None] * h_int
-    whb = w_blk[..., None] * h_bdr
+    # scale by W^1/2 in place: (W^1/2 H)'(W^1/2 H) = H'WH, and overwriting
+    # h_int/h_bdr lets XLA alias the buffers instead of holding the
+    # unscaled AND weighted copies live — at ACTIVSg10k the extra copies
+    # were ~1.7 GB of the HLO-temp footprint that blew the 16 GB chip
+    sqw = jnp.sqrt(w_blk)
+    h_int = h_int * sqw[..., None]
+    h_bdr = h_bdr * sqw[..., None]
+    wr = sqw * r_blk
 
-    g_ii = jnp.einsum("krc,krd->kcd", h_int, whi) \
+    g_ii = jnp.einsum("krc,krd->kcd", h_int, h_int) \
         + jax.vmap(jnp.diag)(1.0 - sb.mask_int)
-    g_ib = jnp.einsum("krc,krd->kcd", h_int, whb)       # (k, 2ni, 2lb)
-    s_kk = jnp.einsum("krc,krd->kcd", h_bdr, whb)       # (k, 2lb, 2lb)
-    rhs_i = jnp.einsum("krc,kr->kc", h_int, w_blk * r_blk)
-    rhs_bk = jnp.einsum("krc,kr->kc", h_bdr, w_blk * r_blk)  # (k, 2lb)
+    g_ib = jnp.einsum("krc,krd->kcd", h_int, h_bdr)     # (k, 2ni, 2lb)
+    s_kk = jnp.einsum("krc,krd->kcd", h_bdr, h_bdr)     # (k, 2lb, 2lb)
+    rhs_i = jnp.einsum("krc,kr->kc", h_int, wr)
+    rhs_bk = jnp.einsum("krc,kr->kc", h_bdr, wr)        # (k, 2lb)
 
     lu, piv = jax.vmap(linalg.lu_factor32)(g_ii)
     y = jax.vmap(linalg.lu_solve_refined)(lu, piv, g_ii, rhs_i)

@@ -62,6 +62,15 @@ def _find_worst(residual, w, c):
 
 
 def _deactivate(monitoring, kind: str, device_idx: int):
+    """Set one device out of service AND bump the measurement revision —
+    without the bump the live analysis' signature check keeps the stale
+    row snapshot and the LNR loop re-detects the same outlier forever."""
+    label = _deactivate_raw(monitoring, kind, device_idx)
+    monitoring.changed()
+    return label
+
+
+def _deactivate_raw(monitoring, kind: str, device_idx: int):
     if kind == "voltmeter":
         monitoring.voltmeter.magnitude.status[device_idx] = 0
         return monitoring.voltmeter.label.label(device_idx)

@@ -138,6 +138,68 @@ def _cholesky_kernel(a_ref, out_ref):
             preferred_element_type=jnp.float32)
 
 
+def _cholesky_kernel_tiled(a_ref, out_ref):
+    """Several matrices per grid step: the per-column masked ops of the
+    panel factorization vectorize across the tile's batch axis (the
+    single-matrix kernel underused the vector lanes — its (BLK, 1)
+    columns left 7/8 sublanes idle at SE-gain sizes)."""
+    n = a_ref.shape[1]
+    nblocks = n // BLK
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, BLK), 0)
+
+    out_ref[...] = a_ref[...]
+
+    f_diag = jax.vmap(_factor_diag)
+    f_panel = jax.vmap(_panel_solve)
+    for kb in range(nblocks):
+        off = kb * BLK
+        dblk = out_ref[:, off:off + BLK, off:off + BLK]   # (TB, BLK, BLK)
+        l11 = f_diag(dblk)
+
+        slab = out_ref[:, :, off:off + BLK]               # (TB, n, BLK)
+        x = f_panel(slab, l11)
+
+        below = row_ids >= np.int32(off + BLK)
+        inblk = (row_ids >= np.int32(off)) & (row_ids < np.int32(off + BLK))
+        parts = []
+        if off:
+            parts.append(jnp.zeros((l11.shape[0], off, BLK),
+                                   dtype=l11.dtype))
+        parts.append(l11)
+        if n - off - BLK:
+            parts.append(jnp.zeros((l11.shape[0], n - off - BLK, BLK),
+                                   dtype=l11.dtype))
+        l11_full = jnp.concatenate(parts, axis=1) if len(parts) > 1 else l11
+        panel = jnp.where(below[None], x,
+                          jnp.where(inblk[None], l11_full, np.float32(0.0)))
+        out_ref[:, :, off:off + BLK] = panel
+
+        # trailing update: A -= L_panel L_panel^T, batched on the MXU
+        xm = jnp.where(below[None], x, np.float32(0.0))
+        out_ref[...] = out_ref[...] - jax.lax.dot_general(
+            xm, xm, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tile"))
+def batched_cholesky_tiled(a, tile: int = 8, interpret: bool = False):
+    """Batch-tiled Pallas Cholesky: ``tile`` matrices per grid step.
+
+    ``a``: (batch, n, n) f32, n a multiple of 64, batch a multiple of
+    ``tile`` (pad the batch with identity matrices if needed)."""
+    batch, n, _ = a.shape
+    assert batch % tile == 0, "pad the batch to a multiple of tile"
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _cholesky_kernel_tiled,
+            out_shape=jax.ShapeDtypeStruct((batch, n, n), a.dtype),
+            grid=(batch // tile,),
+            in_specs=[pl.BlockSpec((tile, n, n), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((tile, n, n), lambda b: (b, 0, 0)),
+            interpret=interpret,
+        )(a)
+
+
 @partial(jax.jit, static_argnames="interpret")
 def batched_cholesky(a, interpret: bool = False):
     """Lower Cholesky factors for a batch of SPD matrices.

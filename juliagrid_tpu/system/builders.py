@@ -4,12 +4,13 @@ Behavioral equivalent of the reference mutators
 (/root/reference/src/powerSystem/bus.jl:65-258, branch.jl:79-471,
 generator.jl:73-381, :709-809): template defaulting, live input-unit
 conversion, supply accumulation, slack uniqueness, status bookkeeping, and
-revision bumps. Nodal-model maintenance strategy: updates that change
-branch/bus stamps rebuild the vectorized AC/DC assembly (numpy, amortized
-micro-seconds per thousand branches) rather than patching entries in place —
-analyses detect the revision bump and refresh their device snapshots, which
-preserves the reference's reuse-semantics contract (its ``reusing`` test
-suites) with a simpler invalidation model.
+revision bumps. Nodal-model maintenance: single-element updates patch the
+live CSR in place with the reference's -stamp/mutate/+stamp dance
+(acNodalUpdate!/acParameterUpdate!, model.jl:81-132; shunt delta,
+bus.jl:222-240) in O(log nnz) per edit; adding elements invalidates and
+lazily rebuilds the vectorized assembly. Analyses detect the revision bump
+and refresh their device snapshots, preserving the reference's
+reuse-semantics contract (its ``reusing`` test suites).
 """
 
 from __future__ import annotations
@@ -121,6 +122,8 @@ def update_bus(system: PowerSystem, label, *, type=None, active=None,
         system.injection_changed()
 
     shunt_changed = conductance is not None or susceptance is not None
+    _old_shunt = complex(bus.shunt.conductance[idx],
+                         bus.shunt.susceptance[idx])
     if conductance is not None:
         bus.shunt.conductance[idx] = topu(conductance, None, u.pfx_active,
                                           base_power_inv) \
@@ -170,7 +173,11 @@ def update_bus(system: PowerSystem, label, *, type=None, active=None,
         system.type_changed()
 
     if shunt_changed and system.model.ac.nodal is not None:
-        ac_model(system)  # vectorized reassembly; value-only change
+        # diagonal ± stamp (reference updateBusMain! shunt delta-update,
+        # bus.jl:222-240): O(log nnz), not a full reassembly
+        new_shunt = complex(bus.shunt.conductance[idx],
+                            bus.shunt.susceptance[idx])
+        system.model.ac.nodal[idx, idx] += new_shunt - _old_shunt
         system.ac_model_changed()
     return idx
 
@@ -260,6 +267,19 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
     idx = branch.label.index(label)
     prm = branch.parameter
 
+    # subtract the OLD stamps before any mutation (reference updateBranch!
+    # does exactly this dance: -stamp, mutate, +stamp; branch.jl:307-471)
+    from .model import (ac_nodal_update, ac_parameter_update,
+                        dc_nodal_update, dc_parameter_update,
+                        dc_shift_update)
+    has_ac = system.model.ac.nodal is not None
+    has_dc = system.model.dc.nodal is not None
+    if has_ac:
+        ac_nodal_update(system, idx, sign=-1.0)
+    if has_dc:
+        dc_shift_update(system, idx, sign=-1.0)
+        dc_nodal_update(system, idx, sign=-1.0)
+
     i = int(branch.layout.from_bus[idx])
     tau = turns_ratio if turns_ratio is not None \
         else float(prm.turns_ratio[idx])
@@ -314,9 +334,21 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
                 getattr(branch.voltage, name)[idx] = \
                     value * u.pfx_angle if u.pfx_angle else float(value)
 
+    # refresh the per-branch stamps from the (possibly) new parameters and
+    # add them back — O(log nnz) instead of the O(nnz + m) full reassembly
+    # (the pattern keeps out-of-service slots as structural zeros, so even
+    # status flips are value-only and no analysis needs a symbolic rebuild)
+    if has_ac:
+        ac_parameter_update(system, idx)
+        ac_nodal_update(system, idx, sign=1.0)
+    if has_dc:
+        dc_parameter_update(system, idx)
+        dc_nodal_update(system, idx, sign=1.0)
+        dc_shift_update(system, idx, sign=1.0)
     if changed:
-        _rebuild_models(system)
-        system.topology_changed()
+        system.ac_model_changed()
+        system.dc_model_changed()
+        system.model.revision.topology += 1
     else:
         system.optimization_changed()
     return idx

@@ -109,6 +109,58 @@ def model(system: PowerSystem, kind: str = "both") -> None:
         dc_model(system)
 
 
+# ---------------------------------------------------------------------------
+# Incremental ± stamps (reference acNodalUpdate!/acParameterUpdate!,
+# model.jl:81-132, DC twins :215-262): a single-branch edit subtracts the
+# old stamp, refreshes the per-branch two-port parameters, and adds the new
+# stamp — O(log nnz) CSR element updates instead of the O(nnz + m) full
+# reassembly. Possible because the assembly keeps out-of-service branches
+# as structural zeros (model.jl:251-262 trick), so even status flips never
+# change the pattern.
+# ---------------------------------------------------------------------------
+
+def ac_parameter_update(system: PowerSystem, idx: int) -> None:
+    """Refresh one branch's stored two-port stamp from its current
+    parameters (reference acParameterUpdate!, model.jl:113-132) — the same
+    closed forms as the vectorized ``ac_model`` assembly."""
+    ac = system.model.ac
+    br = system.branch
+    st = int(br.layout.status[idx])
+    if st != 1:
+        z = 0.0 + 0.0j
+        ac.admittance[idx] = z
+        ac.nodal_from_from[idx] = z
+        ac.nodal_from_to[idx] = z
+        ac.nodal_to_from[idx] = z
+        ac.nodal_to_to[idx] = z
+        return
+    r = float(br.parameter.resistance[idx])
+    x = float(br.parameter.reactance[idx])
+    gs = float(br.parameter.conductance[idx])
+    bs = float(br.parameter.susceptance[idx])
+    tau = float(br.parameter.turns_ratio[idx])
+    phi = float(br.parameter.shift_angle[idx])
+    y = 1.0 / (r + 1j * x)
+    tau_inv = 1.0 / tau
+    a = tau_inv * np.exp(-1j * phi)
+    ytt = y + 0.5 * (gs + 1j * bs)
+    ac.admittance[idx] = y
+    ac.nodal_from_from[idx] = tau_inv ** 2 * ytt
+    ac.nodal_from_to[idx] = -np.conj(a) * y
+    ac.nodal_to_from[idx] = -a * y
+    ac.nodal_to_to[idx] = ytt
+
+
+def dc_parameter_update(system: PowerSystem, idx: int) -> None:
+    """Refresh one branch's stored DC admittance from its parameters."""
+    dc = system.model.dc
+    br = system.branch
+    st = int(br.layout.status[idx])
+    x = float(br.parameter.reactance[idx])
+    tau = float(br.parameter.turns_ratio[idx])
+    dc.admittance[idx] = 1.0 / (tau * x) if st == 1 else 0.0
+
+
 def ac_nodal_update(system: PowerSystem, idx: int, sign: float = 1.0) -> None:
     """Add (sign=+1) or subtract (sign=-1) one branch's stamp from Y-bus.
 

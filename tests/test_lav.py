@@ -20,6 +20,8 @@ from juliagrid_tpu.powerflow.ac import newton_raphson
 from juliagrid_tpu.powerflow.dc import dc_power_flow
 from juliagrid_tpu.powerflow.driver import power_flow
 
+pytestmark = pytest.mark.slow
+
 
 def test_dc_lav_reproduces_pf(data_path):
     system = jg.power_system(str(data_path / "case14test.m"))

@@ -13,6 +13,8 @@ from juliagrid_tpu.opf.dcopf import solve as dc_solve
 
 from .utils import h5group
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("case", ["case14test", "case30test"])
 def test_dc_opf_matpower(data_path, case):

@@ -18,6 +18,8 @@ from juliagrid_tpu.opf import (fix, remove_constraint, set_bound, unfix,
 from juliagrid_tpu.opf.acopf import ac_optimal_power_flow
 from juliagrid_tpu.opf.acopf import solve as ac_solve
 
+pytestmark = pytest.mark.slow
+
 
 def _solved(data_path, case="case14optimal.m"):
     system = jg.power_system(str(data_path / case))

@@ -16,6 +16,8 @@ from juliagrid_tpu.opf import (fix, remove_constraint, set_bound, unfix,
 from juliagrid_tpu.opf.dcopf import dc_optimal_power_flow
 from juliagrid_tpu.opf.dcopf import solve as dc_solve
 
+pytestmark = pytest.mark.slow
+
 
 def _solved(data_path, case="case14optimal.m"):
     system = jg.power_system(str(data_path / case))

@@ -22,6 +22,8 @@ from juliagrid_tpu.powerflow.fast_decoupled import (fast_newton_raphson_bx,
 
 from .utils import h5group
 
+pytestmark = pytest.mark.slow
+
 CASES = ["case118.m", "case300.m", "case1354pegase.h5", "case1951rte.h5"]
 
 
