@@ -1,5 +1,5 @@
 """Compute substrate: mixed-precision linear algebra, the equation library,
-BBD Schur solves, and Pallas kernels."""
+BBD Schur solves."""
 
 from . import linalg
 from .linalg import KLU, LDLT, LL, LU, QR
