@@ -539,35 +539,77 @@ def _config5_se(out, on_tpu):
     })
 
 
-def main():
+CONFIGS = [
+    ("config1_nr14_flat", lambda on_tpu: config1_nr14(on_tpu)),
+    ("config2_dc_fdpf_118", lambda on_tpu: config2_dc_fdpf_118()),
+    ("config3_wls_se_118", lambda on_tpu: config3_se118(on_tpu)),
+    ("config4_lav_baddata_118", lambda on_tpu: config4_lav_baddata_118()),
+    ("config5_pegase", lambda on_tpu: config5_pegase(on_tpu)),
+]
+
+CHILD_TIMEOUT_S = 1500  # per-config wall ceiling (compiles included)
+
+
+def _run_child(name):
+    """Child process: run ONE config and write its detail dict as JSON to
+    BENCH_OUT. Only children touch JAX/the chip — process isolation so a
+    RESOURCE_EXHAUSTED in one config cannot poison the TPU client for the
+    rest (round-3 lesson: after config 4 OOM'd, every later allocation
+    failed instantly)."""
     import jax
 
     device = jax.devices()[0]
     on_tpu = device.platform not in ("cpu",)
+    fn = dict(CONFIGS)[name]
+    t0 = time.perf_counter()
+    try:
+        out = fn(on_tpu)
+    except Exception as exc:
+        out = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+    out["config_wall_s"] = round(time.perf_counter() - t0, 1)
+    out["device"] = str(device)
+    with open(os.environ["BENCH_OUT"], "w") as f:
+        json.dump(out, f)
 
-    # every config is guarded: one failure must never cost the others
-    # their numbers (round-2 lesson — an OOM in one config killed the
-    # whole run and produced zero TPU evidence)
-    detail = {"device": str(device)}
-    configs = [
-        ("config1_nr14_flat", config1_nr14, (on_tpu,)),
-        ("config2_dc_fdpf_118", config2_dc_fdpf_118, ()),
-        ("config3_wls_se_118", config3_se118, (on_tpu,)),
-        ("config4_lav_baddata_118", config4_lav_baddata_118, ()),
-        ("config5_pegase", config5_pegase, (on_tpu,)),
-    ]
+
+def main():
+    import subprocess
+    import sys
+    import tempfile
+
+    # every config runs in its own subprocess: one failure (even an OOM
+    # that wedges the TPU client) must never cost the others their
+    # numbers. The chip is single-tenant, so children run serially.
+    detail = {}
     only = os.environ.get("BENCH_ONLY")  # e.g. "1,2,3" for a subset
-    for name, fn, args in configs:
+    for name, _fn in CONFIGS:
         if only and name.split("_")[0].removeprefix("config") not in \
                 only.split(","):
             continue
         t0 = time.perf_counter()
-        try:
-            detail[name] = fn(*args)
-        except Exception as exc:
-            detail[name] = {
-                "error": f"{type(exc).__name__}: {str(exc)[:300]}"}
-        detail[name]["config_wall_s"] = round(time.perf_counter() - t0, 1)
+        with tempfile.NamedTemporaryFile(suffix=".json", mode="r") as tf:
+            env = dict(os.environ, BENCH_CHILD=name, BENCH_OUT=tf.name)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    timeout=CHILD_TIMEOUT_S, capture_output=True, text=True)
+                body = tf.read()
+                if body:
+                    detail[name] = json.loads(body)
+                else:
+                    tail = (proc.stderr or proc.stdout or "")[-300:]
+                    detail[name] = {
+                        "error": f"child exited rc={proc.returncode} "
+                                 f"without result: {tail}"}
+            except subprocess.TimeoutExpired:
+                detail[name] = {
+                    "error": f"child timed out after {CHILD_TIMEOUT_S}s"}
+        detail[name].setdefault(
+            "config_wall_s", round(time.perf_counter() - t0, 1))
+    device = "?"
+    for out in detail.values():
+        device = out.pop("device", device)
+    detail = {"device": device, **detail}
 
     ratios = []
     for name, keys in [
@@ -594,4 +636,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        _run_child(os.environ["BENCH_CHILD"])
+    else:
+        main()

@@ -729,7 +729,12 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
         return lav_solve(analysis, iteration=iteration, power=power,
                          current=current)
 
-    analysis._refresh_arrays()
+    from ..utils.profiling import Timings, default_timings
+    if getattr(analysis.method, "timings", None) is None:
+        analysis.method.timings = Timings()
+    with analysis.method.timings.span("refresh"), \
+            default_timings.span("se.refresh"):
+        analysis._refresh_arrays()
     analysis.method.iteration = 0
     kind = analysis.method.factorization \
         if analysis.method.factorization in (linalg.QR, linalg.PW) \
@@ -772,11 +777,15 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
         vm = jnp.asarray(analysis.voltage.magnitude)
         va = jnp.asarray(analysis.voltage.angle)
         solver = _se_solve_damped if damping else _se_solve
-        vm, va, it, maxinc, converged = solver(
-            analysis.arrays, analysis.net, vm, va, tolerance, iteration,
-            kind)
-        analysis.voltage.magnitude = np.asarray(vm)
-        analysis.voltage.angle = np.asarray(va)
+        with analysis.method.timings.span("solve"), \
+                default_timings.span("se.solve"):
+            vm, va, it, maxinc, converged = solver(
+                analysis.arrays, analysis.net, vm, va, tolerance, iteration,
+                kind)
+            # host readbacks block on the device loop: the span measures
+            # the full solve, not just the dispatch
+            analysis.voltage.magnitude = np.asarray(vm)
+            analysis.voltage.angle = np.asarray(va)
         analysis.method.iteration = int(it)
         analysis.method.converged = bool(converged)
         analysis.method.max_increment = float(maxinc)

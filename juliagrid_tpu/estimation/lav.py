@@ -15,6 +15,7 @@ the reference's status handling.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,6 +86,39 @@ def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
         _, u, v = split(xx)
         return jnp.concatenate([u, v])
 
+    # analytic derivatives: the LAV equality Jacobian is [H(x), I, -I]
+    # (+ the slack-anchor row) with H already computed by build_h —
+    # autodiff over the 2n+2m variables is pure waste, and its eager
+    # tangent basis OOM'd the 16 GB chip at 118 buses (bench round 3)
+    n_x = 2 * n + 2 * m_act
+    rng_m = jnp.arange(m_act)
+
+    def jac_eq(xx):
+        state = xx[:2 * n]
+        H, _ = build_h(arr, net, state[n:], state[:n])
+        J = jnp.zeros((m_act + 1, n_x))
+        J = J.at[:m_act, :2 * n].set(H[act])
+        J = J.at[rng_m, 2 * n + rng_m].set(1.0)
+        J = J.at[rng_m, 2 * n + m_act + rng_m].set(-1.0)
+        return J.at[m_act, slack].set(1.0)
+
+    ji_const = jnp.zeros((2 * m_act, n_x)).at[
+        jnp.arange(2 * m_act), 2 * n + jnp.arange(2 * m_act)].set(1.0)
+
+    def jac_ineq(xx):
+        return ji_const
+
+    def hess(xx, y_raw, z_raw):
+        # linear objective: ∇²L = -Σ yᵢ ∇²hᵢ(state), state block only
+        ye = y_raw[:m_act]
+
+        def weighted_h(state):
+            _, h = build_h(arr, net, state[n:], state[:n])
+            return -jnp.dot(ye, h[act])
+
+        hss = jax.hessian(weighted_h)(xx[:2 * n])
+        return jnp.zeros((n_x, n_x)).at[:2 * n, :2 * n].set(hss)
+
     vm0 = np.asarray(analysis.voltage.magnitude)
     va0 = np.asarray(analysis.voltage.angle)
     _, h0 = build_h(arr, net, jnp.asarray(vm0), jnp.asarray(va0))
@@ -92,7 +126,8 @@ def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
     x0 = np.concatenate([va0, vm0, np.maximum(r0, 0) + 1e-3,
                          np.maximum(-r0, 0) + 1e-3])
 
-    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+    res = solve_nlp(NlpProblem(objective, eq, ineq, jac_eq=jac_eq,
+                               jac_ineq=jac_ineq, hess=hess), x0,
                     max_iter=iteration, tol=tolerance)
     analysis.voltage.angle = res.x[:n]
     analysis.voltage.magnitude = res.x[n:2 * n]
@@ -155,8 +190,24 @@ def dc_lav_solve(analysis: DcStateEstimation, iteration: int = 200,
     def ineq(xx):
         return xx[n:]
 
+    # constant LP derivatives: [h_act, I, -I] + slack row; zero Hessian
+    n_x = n + 2 * m_act
+    je = np.zeros((m_act + 1, n_x))
+    je[:m_act, :n] = h_np[active]
+    je[np.arange(m_act), n + np.arange(m_act)] = 1.0
+    je[np.arange(m_act), n + m_act + np.arange(m_act)] = -1.0
+    je[m_act, slack] = 1.0
+    je = jnp.asarray(je)
+    ji = np.zeros((2 * m_act, n_x))
+    ji[np.arange(2 * m_act), n + np.arange(2 * m_act)] = 1.0
+    ji = jnp.asarray(ji)
+    hz = jnp.zeros((n_x, n_x))
+
     x0 = np.concatenate([np.zeros(n), np.ones(2 * m_act) * 0.1])
-    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+    res = solve_nlp(NlpProblem(objective, eq, ineq,
+                               jac_eq=lambda xx: je,
+                               jac_ineq=lambda xx: ji,
+                               hess=lambda xx, yy, zz: hz), x0,
                     max_iter=iteration, tol=tolerance)
     analysis.voltage.angle = res.x[:n] + float(arr.slack_angle)
     analysis.method.iteration = res.iterations
@@ -209,8 +260,23 @@ def pmu_lav_solve(analysis: PmuStateEstimation, iteration: int = 200,
     def ineq(xx):
         return xx[2 * n:]
 
+    # constant LP derivatives: [h_act, I, -I]; zero Hessian
+    n_x = 2 * n + 2 * m_act
+    je = np.zeros((m_act, n_x))
+    je[:, :2 * n] = h_np[active]
+    je[np.arange(m_act), 2 * n + np.arange(m_act)] = 1.0
+    je[np.arange(m_act), 2 * n + m_act + np.arange(m_act)] = -1.0
+    je = jnp.asarray(je)
+    ji = np.zeros((2 * m_act, n_x))
+    ji[np.arange(2 * m_act), 2 * n + np.arange(2 * m_act)] = 1.0
+    ji = jnp.asarray(ji)
+    hz = jnp.zeros((n_x, n_x))
+
     x0 = np.concatenate([np.ones(n), np.zeros(n), 0.1 * np.ones(2 * m_act)])
-    res = solve_nlp(NlpProblem(objective, eq, ineq), x0,
+    res = solve_nlp(NlpProblem(objective, eq, ineq,
+                               jac_eq=lambda xx: je,
+                               jac_ineq=lambda xx: ji,
+                               hess=lambda xx, yy, zz: hz), x0,
                     max_iter=iteration, tol=tolerance)
     re, im = res.x[:n], res.x[n:2 * n]
     analysis.voltage.magnitude = np.hypot(re, im)

@@ -79,6 +79,21 @@ class NlpProblem:
     eq: Optional[Callable] = None  # x -> (mE,) residuals, target 0
     ineq: Optional[Callable] = None  # x -> (mI,) values, constraint >= 0
     params: Optional[object] = None  # pytree threaded as runtime arg
+    # analytic Jacobians (x -> (m, n_x), same calling convention as the
+    # constraint functions). When a model computes its Jacobian anyway —
+    # LAV's equality rows are [H(x), I, -I] with H from build_h — autodiff
+    # (n_x basis tangents through the whole constraint graph) is pure
+    # memory/time waste: the eager jacfwd of the 118-bus LAV equalities is
+    # what RESOURCE_EXHAUSTED'd the 16 GB chip in the round-3 bench.
+    jac_eq: Optional[Callable] = None
+    jac_ineq: Optional[Callable] = None
+    # analytic Lagrangian Hessian (x, y, z) -> (n_x, n_x). Only valid when
+    # the objective's Hessian is zero (the LAV family: linear objective):
+    # the duals arrive premultiplied by the internal row scalings, so the
+    # callable returns -Σ y_i ∇²c_E,i - Σ z_i ∇²c_I,i in raw-constraint
+    # space. For LPs (DC/PMU LAV) it is identically zero and skipping the
+    # chunked autodiff pass saves the dominant per-iteration cost.
+    hess: Optional[Callable] = None
 
 
 @dataclass
@@ -128,9 +143,12 @@ def _chunked_jacfwd(fn, n_x: int, block: int = _CHUNK_BLOCK):
     return jac
 
 
-def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
+def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
+              jac_e_fn=None, jac_i_fn=None, hess_fn=None):
     """All of ``f``/``c_e``/``c_i`` take ``(x, p)`` with ``p`` a runtime
-    params pytree (possibly an empty tuple)."""
+    params pytree (possibly an empty tuple). ``jac_e_fn``/``jac_i_fn``/
+    ``hess_fn`` are optional analytic derivatives (same convention) that
+    replace the autodiff fallbacks."""
     if not m_e:
         c_e = lambda x, p: jnp.zeros(0)  # noqa: E731
     if not m_i:
@@ -138,11 +156,17 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
 
     grad_f = jax.grad(f)
     big = n_x > _CHUNK_THRESHOLD
-    if big:
+    if jac_e_fn is not None and m_e:
+        jac_e = jac_e_fn
+    elif big:
         jac_e = _chunked_jacfwd(c_e, n_x)
-        jac_i = _chunked_jacfwd(c_i, n_x)
     else:
         jac_e = jax.jacfwd(c_e)
+    if jac_i_fn is not None and m_i:
+        jac_i = jac_i_fn
+    elif big:
+        jac_i = _chunked_jacfwd(c_i, n_x)
+    else:
         jac_i = jax.jacfwd(c_i)
 
     def lagrangian(x, y, z, p):
@@ -154,7 +178,9 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int):
         return val
 
     grad_l = jax.grad(lagrangian)
-    if big:
+    if hess_fn is not None:
+        hess_l = hess_fn
+    elif big:
         hess_l = _chunked_jacfwd(grad_l, n_x)  # symmetric: Jᵀ of ∇L is H
     else:
         hess_l = jax.jacfwd(grad_l)
@@ -333,12 +359,20 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         p = problem.params
         f_raw = problem.objective
         eq_raw, ineq_raw = problem.eq, problem.ineq
+        je_raw, ji_raw = problem.jac_eq, problem.jac_ineq
+        hess_raw = problem.hess
     else:
         p = ()
         f_raw = lambda xx, pp: problem.objective(xx)  # noqa: E731
         eq_raw = (lambda xx, pp: problem.eq(xx)) if problem.eq else None
         ineq_raw = (lambda xx, pp: problem.ineq(xx)) if problem.ineq \
             else None
+        je_raw = (lambda xx, pp: problem.jac_eq(xx)) if problem.jac_eq \
+            else None
+        ji_raw = (lambda xx, pp: problem.jac_ineq(xx)) \
+            if problem.jac_ineq else None
+        hess_raw = (lambda xx, yy, zz, pp: problem.hess(xx, yy, zz)) \
+            if problem.hess else None
     m_e = int(np.asarray(eq_raw(x, p)).shape[0]) if eq_raw else 0
     m_i = int(np.asarray(ineq_raw(x, p)).shape[0]) if ineq_raw else 0
 
@@ -351,14 +385,30 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     g0 = np.asarray(jax.grad(f_raw)(x, p))
     gmax = float(np.max(np.abs(g0))) if g0.size else 1.0
     scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
+
+    def _jac_row_max(fn_raw, jac_raw):
+        """Per-row max|J| at x0 for gradient-based scaling. The row-max
+        reduction happens ON DEVICE (one small (m,) readback through the
+        tunnel), and large problems use the chunked tangent basis — an
+        eager full jax.jacfwd here materialized n_x copies of the
+        constraint graph and RESOURCE_EXHAUSTED'd the 16 GB chip on the
+        118-bus LAV (round-3 bench)."""
+        if jac_raw is not None:
+            jac = jac_raw
+        elif n_x > _CHUNK_THRESHOLD:
+            jac = _chunked_jacfwd(fn_raw, n_x)
+        else:
+            jac = jax.jacfwd(fn_raw)
+        rm = jax.jit(
+            lambda xx, pp: jnp.max(jnp.abs(jac(xx, pp)), axis=1))(x, p)
+        return np.asarray(rm)
+
     g_e = g_i = None
     if m_e:
-        je0 = np.asarray(jax.jacfwd(eq_raw)(x, p))
-        row = np.max(np.abs(je0), axis=1)
+        row = _jac_row_max(eq_raw, je_raw)
         g_e = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
     if m_i:
-        ji0 = np.asarray(jax.jacfwd(ineq_raw)(x, p))
-        row = np.max(np.abs(ji0), axis=1)
+        row = _jac_row_max(ineq_raw, ji_raw)
         g_i = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
 
     # the scale factors ride the params pytree (not the trace) so an
@@ -374,10 +424,22 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         else None
     c_i_fn = (lambda xx, pp: pp["gi"] * ineq_raw(xx, pp["p"])) if m_i \
         else None
+    # analytic derivatives get the same row scaling as the constraints
+    jac_e_fn = (lambda xx, pp: pp["ge"][:, None] * je_raw(xx, pp["p"])) \
+        if (m_e and je_raw is not None) else None
+    jac_i_fn = (lambda xx, pp: pp["gi"][:, None] * ji_raw(xx, pp["p"])) \
+        if (m_i and ji_raw is not None) else None
+    # hess receives duals premultiplied by the row scalings (raw-constraint
+    # space): with a linear objective, ∇²L = -Σ (ge_i y_i) ∇²c_E,i - ...
+    hess_fn = (lambda xx, yy, zz, pp: hess_raw(
+        xx, (pp["ge"] * yy) if m_e else yy,
+        (pp["gi"] * zz) if m_i else zz, pp["p"])) \
+        if hess_raw is not None else None
 
     step, kkt_error, metrics, resto_step, \
         (c_e, c_i, grad_f, jac_e, jac_i) = _make_fns(
-        f, c_e_fn, c_i_fn, n_x, m_e, m_i)
+        f, c_e_fn, c_i_fn, n_x, m_e, m_i,
+        jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn)
 
     # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
     # start (MATPOWER setpoints can violate balance by tens of p.u.) pins

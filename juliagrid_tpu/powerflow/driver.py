@@ -48,8 +48,12 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
         return analysis
 
     verbose = config.verbose if verbose is None else verbose
-    analysis._refresh_arrays()
+    from ..utils.profiling import Timings, default_timings
     method = analysis.method
+    if getattr(method, "timings", None) is None:
+        method.timings = Timings()
+    with method.timings.span("refresh"), default_timings.span("pf.refresh"):
+        analysis._refresh_arrays()
     method.iteration = 0
 
     if verbose >= 2:
@@ -92,24 +96,28 @@ def power_flow(analysis, iteration: int = 20, tolerance: float = 1e-8,
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)
 
-    if method.name == "newton_raphson":
-        vm, va, it, del_p, del_q, converged = _nr_solve(
-            analysis.arrays, vm, va, tolerance, iteration,
-            method.factorization)
-    elif method.name in ("fast_newton_raphson_bx", "fast_newton_raphson_xb"):
-        from .fast_decoupled import _fnr_solve
-        vm, va, it, del_p, del_q, converged = _fnr_solve(
-            analysis.arrays, vm, va, tolerance, iteration,
-            method.factorization)
-    elif method.name == "gauss_seidel":
-        from .gauss_seidel import _gs_solve
-        vm, va, it, del_p, del_q, converged = _gs_solve(
-            analysis.arrays, vm, va, tolerance, iteration)
-    else:
-        raise ValueError(f"unknown method {method.name}")
+    with method.timings.span("solve"), default_timings.span("pf.solve"):
+        if method.name == "newton_raphson":
+            vm, va, it, del_p, del_q, converged = _nr_solve(
+                analysis.arrays, vm, va, tolerance, iteration,
+                method.factorization)
+        elif method.name in ("fast_newton_raphson_bx",
+                             "fast_newton_raphson_xb"):
+            from .fast_decoupled import _fnr_solve
+            vm, va, it, del_p, del_q, converged = _fnr_solve(
+                analysis.arrays, vm, va, tolerance, iteration,
+                method.factorization)
+        elif method.name == "gauss_seidel":
+            from .gauss_seidel import _gs_solve
+            vm, va, it, del_p, del_q, converged = _gs_solve(
+                analysis.arrays, vm, va, tolerance, iteration)
+        else:
+            raise ValueError(f"unknown method {method.name}")
 
-    analysis.voltage.magnitude = np.asarray(vm)
-    analysis.voltage.angle = np.asarray(va)
+        # the host readbacks below block on the device loop, so the span
+        # measures the full solve, not just the dispatch
+        analysis.voltage.magnitude = np.asarray(vm)
+        analysis.voltage.angle = np.asarray(va)
     method.iteration = int(it)
     method.converged = bool(converged)
     method.max_mismatch_active = float(del_p)
