@@ -377,8 +377,14 @@ def config4_lav_baddata_118():
     update_wattmeter(mon, mon.wattmeter.label.label(3), active=5.0)
     update_wattmeter(mon, mon.wattmeter.label.label(40), active=-4.0)
 
-    def lnr_loop():
-        se = gauss_newton(mon)
+    def make_mon():
+        m, _ = _scada_pmu(system)
+        update_wattmeter(m, m.wattmeter.label.label(3), active=5.0)
+        update_wattmeter(m, m.wattmeter.label.label(40), active=-4.0)
+        return m
+
+    def lnr_loop(m):
+        se = gauss_newton(m)
         state_estimation(se)
         removed = 0
         while removed < 10:
@@ -389,8 +395,11 @@ def config4_lav_baddata_118():
             state_estimation(se)
         return removed, se
 
+    # warm measurement: the first pass pays the tunnel compiles; the
+    # deployment shape (cyclic re-estimation) runs against the compile cache
+    lnr_loop(mon)
     t0 = time.perf_counter()
-    removed, se = lnr_loop()
+    removed, se = lnr_loop(make_mon())
     t_fw = time.perf_counter() - t0
 
     # CPU baseline: oracle WLS + sparse-gain LNR loop (same algorithm:
@@ -428,6 +437,7 @@ def config4_lav_baddata_118():
     t_cpu = time.perf_counter() - t0
 
     mon3, _ = _scada_pmu(system)
+    state_estimation(ac_lav_state_estimation(mon3))  # compile pass
     lav = ac_lav_state_estimation(mon3)
     t0 = time.perf_counter()
     state_estimation(lav)

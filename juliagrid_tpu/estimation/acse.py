@@ -132,32 +132,51 @@ class AcStateEstimation:
 
     def _refresh_arrays(self):
         rev = self.system.model.revision
-        mrev = self.monitoring.revision.measurement
+        mrev = self.monitoring.revision
         sig = self.signature
         if (sig.get("ac_model") != rev.ac_model
-                or sig.get("measurement") != mrev
+                or sig.get("measurement") != mrev.measurement
                 or sig.get("slack") != rev.slack):
             (self.arrays, self.method.type,
              self.method.row_device) = compile_se_arrays(
                 self.system, self.monitoring)
             self.net = compile_ac_arrays(self.system)
-            sig.update(ac_model=rev.ac_model, measurement=mrev,
-                       slack=rev.slack)
+            sig.update(ac_model=rev.ac_model, measurement=mrev.measurement,
+                       meas_values=mrev.values, slack=rev.slack)
+        elif sig.get("meas_values") != mrev.values:
+            # numeric-only edit (update_*meter means/variances/statuses,
+            # bad-data deactivation): patch the per-row value vectors in
+            # place — the reference's live row patches (powermeter.jl:
+            # 629-958, pmu.jl:566-915). The device-resident entry patterns
+            # (the expensive upload at ACTIVSg scale) stay untouched.
+            mean, w, status, pair_off = compile_se_arrays(
+                self.system, self.monitoring, values_only=True)
+            self.arrays = self.arrays._replace(
+                mean=jnp.asarray(mean), w=jnp.asarray(w),
+                status=jnp.asarray(status),
+                pair_off=jnp.asarray(pair_off))
+            sig["meas_values"] = mrev.values
 
 
 def compile_se_arrays(system: PowerSystem, monitoring,
-                      return_host: bool = False):
+                      return_host: bool = False, values_only: bool = False):
     """Build the measurement-row IR (reference acWLS, :77-259): rows in
     device order — voltmeters, ammeters, wattmeters, varmeters, PMUs (PMUs
-    contribute two rows each)."""
+    contribute two rows each).
+
+    ``values_only=True`` runs just the device walk and returns the
+    ``(mean, w, status, pair_off)`` host vectors — the live row-value
+    patch used by ``_refresh_arrays`` when only means/variances/statuses
+    changed (the index patterns and branch coefficients are still valid)."""
     model(system, "ac")
     n = system.bus.number
     volt, amp = monitoring.voltmeter, monitoring.ammeter
     watt, var, pmu = monitoring.wattmeter, monitoring.varmeter, monitoring.pmu
 
-    coo = system.model.ac.nodal.tocoo()
-    order = np.lexsort((coo.col, coo.row))
-    yrows = coo.row[order]
+    if not values_only:
+        coo = system.model.ac.nodal.tocoo()
+        order = np.lexsort((coo.col, coo.row))
+        yrows = coo.row[order]
 
     mean, w, status, types = [], [], [], []
     row_device = []  # (device kind, device index) per measurement row
@@ -308,6 +327,10 @@ def compile_se_arrays(system: PowerSystem, monitoring,
                 status.append(float(st))
                 types.append(ty_im)
                 row += 1
+
+    if values_only:
+        return (np.asarray(mean), np.asarray(w), np.asarray(status),
+                np.asarray(pair_off))
 
     # ---- device arrays ---------------------------------------------------
     f_all = system.branch.layout.from_bus.array[: system.branch.number]
@@ -682,6 +705,7 @@ def gauss_newton(monitoring, factorization: str = linalg.LU
         net=net,
         signature={"ac_model": rev.ac_model,
                    "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values,
                    "slack": rev.slack},
     )
 

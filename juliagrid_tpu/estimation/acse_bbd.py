@@ -325,6 +325,7 @@ def gauss_newton_bbd(monitoring, n_blocks: int = 8) -> AcStateEstimation:
         net=sb.net,
         signature={"ac_model": rev.ac_model,
                    "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values,
                    "slack": rev.slack},
     )
     analysis._bbd = sb
@@ -336,10 +337,11 @@ def gauss_newton_bbd(monitoring, n_blocks: int = 8) -> AcStateEstimation:
 def se_bbd_refresh(analysis: AcStateEstimation):
     """Signature-protocol staleness refresh for the BBD SE snapshot."""
     rev = analysis.system.model.revision
-    mrev = analysis.monitoring.revision.measurement
+    mrev = analysis.monitoring.revision
     sig = analysis.signature
     if (sig.get("ac_model") != rev.ac_model
-            or sig.get("measurement") != mrev
+            or sig.get("measurement") != mrev.measurement
+            or sig.get("meas_values") != mrev.values
             or sig.get("slack") != rev.slack):
         sb, layout, types, row_device = compile_se_bbd(
             analysis.system, analysis.monitoring, analysis._bbd_n_blocks)
@@ -349,7 +351,8 @@ def se_bbd_refresh(analysis: AcStateEstimation):
         analysis.net = sb.net
         analysis.method.type = types
         analysis.method.row_device = row_device
-        sig.update(ac_model=rev.ac_model, measurement=mrev, slack=rev.slack)
+        sig.update(ac_model=rev.ac_model, measurement=mrev.measurement,
+                   meas_values=mrev.values, slack=rev.slack)
 
 
 def se_bbd_solve(analysis: AcStateEstimation, iteration: int = 40,

@@ -66,7 +66,7 @@ def _deactivate(monitoring, kind: str, device_idx: int):
     without the bump the live analysis' signature check keeps the stale
     row snapshot and the LNR loop re-detects the same outlier forever."""
     label = _deactivate_raw(monitoring, kind, device_idx)
-    monitoring.changed()
+    monitoring.changed_values()
     return label
 
 

@@ -60,15 +60,16 @@ class DcStateEstimation:
 
     def _refresh_arrays(self):
         rev = self.system.model.revision
-        mrev = self.monitoring.revision.measurement
+        mrev = self.monitoring.revision
         sig = self.signature
         if (sig.get("dc_model") != rev.dc_model
-                or sig.get("measurement") != mrev
+                or sig.get("measurement") != mrev.measurement
+                or sig.get("meas_values") != mrev.values
                 or sig.get("slack") != rev.slack):
             self.arrays, self.method.row_device, self.method.inservice = \
                 compile_dcse_arrays(self.system, self.monitoring)
-            sig.update(dc_model=rev.dc_model, measurement=mrev,
-                       slack=rev.slack)
+            sig.update(dc_model=rev.dc_model, measurement=mrev.measurement,
+                       meas_values=mrev.values, slack=rev.slack)
 
 
 @dataclass
@@ -172,6 +173,7 @@ def dc_state_estimation(monitoring,
         method=method, arrays=arr,
         signature={"dc_model": rev.dc_model,
                    "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values,
                    "slack": rev.slack},
     )
 

@@ -47,6 +47,7 @@ def ac_lav_state_estimation(monitoring) -> AcStateEstimation:
         method=method, arrays=arr, net=net,
         signature={"ac_model": rev.ac_model,
                    "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values,
                    "slack": rev.slack},
     )
 
@@ -159,6 +160,7 @@ def dc_lav_state_estimation(monitoring) -> DcStateEstimation:
         method=method, arrays=arr,
         signature={"dc_model": rev.dc_model,
                    "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values,
                    "slack": rev.slack},
     )
     return analysis
@@ -232,7 +234,8 @@ def pmu_lav_state_estimation(monitoring) -> PmuStateEstimation:
         voltage=Polar(np.zeros(n), np.zeros(n)),
         method=method, arrays=arr,
         signature={"ac_model": rev.ac_model,
-                   "measurement": monitoring.revision.measurement},
+                   "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values},
     )
 
 

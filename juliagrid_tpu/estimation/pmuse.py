@@ -62,13 +62,15 @@ class PmuStateEstimation:
 
     def _refresh_arrays(self):
         rev = self.system.model.revision
-        mrev = self.monitoring.revision.measurement
+        mrev = self.monitoring.revision
         sig = self.signature
         if (sig.get("ac_model") != rev.ac_model
-                or sig.get("measurement") != mrev):
+                or sig.get("measurement") != mrev.measurement
+                or sig.get("meas_values") != mrev.values):
             self.arrays, self.method.inservice = compile_pmuse_arrays(
                 self.system, self.monitoring)
-            sig.update(ac_model=rev.ac_model, measurement=mrev)
+            sig.update(ac_model=rev.ac_model, measurement=mrev.measurement,
+                       meas_values=mrev.values)
 
 
 def compile_pmuse_arrays(system: PowerSystem, monitoring):
@@ -185,7 +187,8 @@ def pmu_state_estimation(monitoring, factorization: str = linalg.LU
         voltage=Polar(np.zeros(n), np.zeros(n)),
         method=method, arrays=arr,
         signature={"ac_model": rev.ac_model,
-                   "measurement": monitoring.revision.measurement},
+                   "measurement": monitoring.revision.measurement,
+                   "meas_values": monitoring.revision.values},
     )
 
 

@@ -67,14 +67,14 @@ def status(monitoring: Measurement, *, inservice=None, outservice=None,
             or redundancy is not None:
         for i in range(pmu.number):
             pmu.angle.status[i] = pmu.magnitude.status[i]
-    monitoring.changed()
+    monitoring.changed_values()
 
 
 def _status_single(monitoring, store, meter, inservice, outservice,
                    redundancy):
     _apply([meter.status], inservice, outservice, redundancy,
            monitoring.system.bus.number)
-    monitoring.changed()
+    monitoring.changed_values()
 
 
 def status_voltmeter(monitoring: Measurement, *, inservice=None,
@@ -123,7 +123,7 @@ def status_ammeter(monitoring: Measurement, *, inservice=None,
                  inservice_from, outservice_from, redundancy_from, n)
     _apply_where(amp.magnitude, amp.layout.to.array[: amp.number],
                  inservice_to, outservice_to, redundancy_to, n)
-    monitoring.changed()
+    monitoring.changed_values()
 
 
 def _status_powermeter(monitoring, store, meter, kw):
@@ -141,7 +141,7 @@ def _status_powermeter(monitoring, store, meter, kw):
     _apply_where(meter, store.layout.to.array[: store.number],
                  kw.get("inservice_to"), kw.get("outservice_to"),
                  kw.get("redundancy_to"), n)
-    monitoring.changed()
+    monitoring.changed_values()
 
 
 def status_wattmeter(monitoring: Measurement, **kw):
@@ -171,4 +171,4 @@ def status_pmu(monitoring: Measurement, *, inservice=None, outservice=None,
                  kw.get("redundancy_to"), n)
     for i in range(pmu.number):
         pmu.angle.status[i] = pmu.magnitude.status[i]
-    monitoring.changed()
+    monitoring.changed_values()

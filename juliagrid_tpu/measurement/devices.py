@@ -111,7 +111,7 @@ def update_voltmeter(monitoring: Measurement, label, *, magnitude=None,
                                * system.base.voltage.prefix)
     _update_meter(volt.magnitude, idx, magnitude, variance, status, noise,
                   units.pfx_voltage, base_inv)
-    monitoring.changed()
+    monitoring.changed_values()
     return idx
 
 
@@ -228,11 +228,14 @@ def update_ammeter(monitoring: Measurement, label, *, magnitude=None,
     base_p_inv = 1.0 / (system.base.power.value * system.base.power.prefix)
     b_inv = base_current_inv(base_p_inv, system.base.voltage.value[end_bus]
                              * system.base.voltage.prefix)
+    structural = square is not None
     if square is not None:
         amp.layout.square[idx] = square
     _update_meter(amp.magnitude, idx, magnitude, variance, status, noise,
                   units.pfx_current, b_inv)
-    monitoring.changed()
+    # a square flip changes the row TYPE (reference ammeter.jl update!):
+    # that is a snapshot rebuild; mean/variance/status patch in place
+    monitoring.changed() if structural else monitoring.changed_values()
     return idx
 
 
@@ -374,7 +377,7 @@ def update_wattmeter(monitoring: Measurement, label, *, active=None,
                         * monitoring.system.base.power.prefix)
     _update_meter(store.active, idx, active, variance, status, noise,
                   units.pfx_active, base_p_inv)
-    monitoring.changed()
+    monitoring.changed_values()
     return idx
 
 
@@ -386,7 +389,7 @@ def update_varmeter(monitoring: Measurement, label, *, reactive=None,
                         * monitoring.system.base.power.prefix)
     _update_meter(store.reactive, idx, reactive, variance, status, noise,
                   units.pfx_reactive, base_p_inv)
-    monitoring.changed()
+    monitoring.changed_values()
     return idx
 
 
@@ -530,6 +533,8 @@ def update_pmu(monitoring: Measurement, label, *, magnitude=None, angle=None,
                                  system.base.voltage.value[end_bus]
                                  * system.base.voltage.prefix)
         pfx_mag = units.pfx_current
+    structural = (correlated is not None or polar is not None
+                  or square is not None)
     if correlated is not None:
         pmu.layout.correlated[idx] = correlated
     if polar is not None:
@@ -540,5 +545,8 @@ def update_pmu(monitoring: Measurement, label, *, magnitude=None, angle=None,
                   noise, pfx_mag, b_inv)
     _update_meter(pmu.angle, idx, angle, variance_angle, status, noise,
                   units.pfx_angle, 1.0)
-    monitoring.changed()
+    # polar/correlated/square flips change row kinds/pair structure
+    # (reference pmu.jl:566-915 update! dispatch); everything else is an
+    # in-place row-value patch
+    monitoring.changed() if structural else monitoring.changed_values()
     return idx

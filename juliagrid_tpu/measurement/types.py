@@ -107,4 +107,11 @@ class Measurement:
     revision: MeasurementRevision = field(default_factory=MeasurementRevision)
 
     def changed(self):
+        """Structural edit: row layout/kinds may differ. Implies values."""
         self.revision.measurement += 1
+        self.revision.values += 1
+
+    def changed_values(self):
+        """Numeric-only edit (means/variances/statuses): analyses patch
+        their per-row value vectors without rebuilding row snapshots."""
+        self.revision.values += 1
