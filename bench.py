@@ -458,11 +458,11 @@ def config4_lav_baddata_118():
 # Config 5: IPM AC OPF (pegase) + batched Monte-Carlo SE (pegase)
 # ---------------------------------------------------------------------------
 
-def config5_pegase(on_tpu):
+def config5_opf(on_tpu):
+    """AC OPF (interior point); pegase on the chip, 118 on CPU dry-runs
+    (the pegase IPM takes ~1h of CPU; this is a TPU benchmark). Runs in
+    its own child so a compile overrun can't cost the SE numbers."""
     out = {}
-
-    # --- AC OPF (interior point); pegase on the chip, 118 on CPU dry-runs
-    # (the pegase IPM takes ~1h of CPU; this is a TPU benchmark) ---
     opf_case = "case1354pegase.h5" if on_tpu else "case118.m"
     try:
         from juliagrid_tpu.opf.acopf import ac_optimal_power_flow, solve
@@ -481,12 +481,13 @@ def config5_pegase(on_tpu):
     except Exception as exc:  # report, don't kill the bench
         out.update(opf_case=opf_case, opf_converged=False,
                    opf_error=f"{type(exc).__name__}: {str(exc)[:200]}")
+    return out
 
-    # --- batched Monte-Carlo WLS SE (the 10k-scenario pod shape) ---
-    try:
-        _config5_se(out, on_tpu)
-    except Exception as exc:
-        out["se_error"] = f"{type(exc).__name__}: {str(exc)[:300]}"
+
+def config5_se(on_tpu):
+    """Batched Monte-Carlo WLS SE on pegase (the 10k-scenario pod shape)."""
+    out = {}
+    _config5_se(out, on_tpu)
     return out
 
 
@@ -554,10 +555,12 @@ CONFIGS = [
     ("config2_dc_fdpf_118", lambda on_tpu: config2_dc_fdpf_118()),
     ("config3_wls_se_118", lambda on_tpu: config3_se118(on_tpu)),
     ("config4_lav_baddata_118", lambda on_tpu: config4_lav_baddata_118()),
-    ("config5_pegase", lambda on_tpu: config5_pegase(on_tpu)),
+    ("config5a_opf_pegase", lambda on_tpu: config5_opf(on_tpu)),
+    ("config5b_se_pegase", lambda on_tpu: config5_se(on_tpu)),
 ]
 
-CHILD_TIMEOUT_S = 1500  # per-config wall ceiling (compiles included)
+CHILD_TIMEOUT_S = 1500   # per-config wall ceiling (compiles included)
+CHILD_TIMEOUTS = {"config5a_opf_pegase": 2100}  # pegase IPM compile + 900 s
 
 
 def _run_child(name):
@@ -597,12 +600,13 @@ def main():
                 only.split(","):
             continue
         t0 = time.perf_counter()
+        budget = CHILD_TIMEOUTS.get(name, CHILD_TIMEOUT_S)
         with tempfile.NamedTemporaryFile(suffix=".json", mode="r") as tf:
             env = dict(os.environ, BENCH_CHILD=name, BENCH_OUT=tf.name)
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)], env=env,
-                    timeout=CHILD_TIMEOUT_S, capture_output=True, text=True)
+                    timeout=budget, capture_output=True, text=True)
                 body = tf.read()
                 if body:
                     detail[name] = json.loads(body)
@@ -613,7 +617,7 @@ def main():
                                  f"without result: {tail}"}
             except subprocess.TimeoutExpired:
                 detail[name] = {
-                    "error": f"child timed out after {CHILD_TIMEOUT_S}s"}
+                    "error": f"child timed out after {budget}s"}
         detail[name].setdefault(
             "config_wall_s", round(time.perf_counter() - t0, 1))
     device = "?"
@@ -627,7 +631,7 @@ def main():
         ("config2_dc_fdpf_118", ("dc_speedup",)),
         ("config3_wls_se_118", ("speedup",)),
         ("config4_lav_baddata_118", ("lnr_speedup",)),
-        ("config5_pegase", ("se_speedup",)),
+        ("config5b_se_pegase", ("se_speedup",)),
     ]:
         for k in keys:
             v = detail.get(name, {}).get(k)

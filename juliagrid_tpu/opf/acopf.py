@@ -414,6 +414,48 @@ class _AcSpec:
         tags += [("piecewise_active", int(gi)) for gi in self.pwp[0]]
         tags += [("piecewise_reactive", int(gi)) for gi in self.pwq[0]]
         self.ineq_tags = tags
+
+        # ---- static scatter patterns for the analytic Jacobians ---------
+        # (row offsets mirror the emit order of eq()/ineq() exactly;
+        # empty blocks contribute zero rows, same as the concat)
+        n, g = self.n, self.g
+        self.gen_off = np.flatnonzero(~self.gen_on)
+        self.m_e = (2 * n + 1 + 2 * len(self.gen_off) + len(self.fixv_i)
+                    + len(self.fixp_i) + len(self.fixq_i))
+        r = 0
+        jb_rows, jb_cols, jb_sign = [], [], []
+        for cols, sgn in ((n + self.vlo_i, 1.0), (n + self.vhi_i, -1.0),
+                          (2 * n + self.plo_i, 1.0),
+                          (2 * n + self.phi_i, -1.0),
+                          (2 * n + g + self.qlo_i, 1.0),
+                          (2 * n + g + self.qhi_i, -1.0)):
+            k = len(cols)
+            jb_rows.append(np.arange(r, r + k))
+            jb_cols.append(np.asarray(cols, dtype=np.int64))
+            jb_sign.append(np.full(k, sgn))
+            r += k
+        self.ji_bound = (np.concatenate(jb_rows),
+                         np.concatenate(jb_cols),
+                         np.concatenate(jb_sign))
+        self.ji_cc_rows = np.arange(r, r + len(self.cc_i))
+        r += len(self.cc_i)
+        k_lo = int(self.fl_has_lo.sum()) if len(self.fl_k) else 0
+        k_hi = int(self.fl_has_hi.sum()) if len(self.fl_k) else 0
+        self.ji_fl_lo_rows = np.arange(r, r + k_lo)
+        r += k_lo
+        self.ji_fl_hi_rows = np.arange(r, r + k_hi)
+        r += k_hi
+        k_an = len(self.an_f)
+        self.ji_an_lo_rows = np.arange(r, r + k_an)
+        r += k_an
+        self.ji_an_hi_rows = np.arange(r, r + k_an)
+        r += k_an
+        self.ji_pwp_rows = np.arange(r, r + len(self.pwp[0]))
+        r += len(self.pwp[0])
+        self.ji_pwq_rows = np.arange(r, r + len(self.pwq[0]))
+        r += len(self.pwq[0])
+        self.m_i = r
+
         self.params = self._make_params()
 
     def _make_params(self) -> AcParams:
@@ -614,6 +656,237 @@ class _AcSpec:
             return None
         return jnp.concatenate(out)
 
+    # ---- analytic derivatives ----------------------------------------
+    # Autodiffing eq/ineq costs n_x tangent passes through the whole
+    # constraint graph per IPM iteration (chunked at pegase scale, but
+    # still the dominant per-iteration cost). The derivatives have
+    # closed forms: the classic polar power-flow Jacobian per Y entry
+    # (same formulas as the SE rows, estimation/acse.py h_entries;
+    # reference equations.jl:1-698) plus constant bound/fix/cut rows;
+    # only the per-branch flow rows use a 4-variable vmapped grad.
+
+    def jac_eq(self, x, p):
+        """Analytic equality Jacobian, shape (m_e, n_x)."""
+        import jax
+        theta, v, pg, qg, hp, hq = self.split(x)
+        n, g = self.n, self.g
+        rows_e, cols_e = self.rows, self.cols
+        vi = v[rows_e]
+        vj = v[cols_e]
+        th = theta[rows_e] - theta[cols_e]
+        ct = jnp.cos(th)
+        st = jnp.sin(th)
+        gc = p.yg * ct + p.yb * st
+        gs = p.yg * st - p.yb * ct
+        t1 = vi * vj * gc
+        t2 = vi * vj * gs
+        p_bus = jax.ops.segment_sum(t1, rows_e, num_segments=n)
+        q_bus = jax.ops.segment_sum(t2, rows_e, num_segments=n)
+        diag = rows_e == cols_e
+        offf = (~diag).astype(v.dtype)
+        gii = jax.ops.segment_sum(jnp.where(diag, p.yg, 0.0), rows_e,
+                                  num_segments=n)
+        bii = jax.ops.segment_sum(jnp.where(diag, p.yb, 0.0), rows_e,
+                                  num_segments=n)
+
+        J = jnp.zeros((self.m_e, self.n_x), dtype=v.dtype)
+        ar = jnp.arange(n)
+        # balance rows: d(sup - inj - demand)/d· = -d inj/d·
+        J = J.at[rows_e, cols_e].add(-t2 * offf)                # -dP/dθj
+        J = J.at[rows_e, n + cols_e].add(-vi * gc * offf)       # -dP/dVj
+        J = J.at[ar, ar].add(q_bus + bii * v * v)               # -dP/dθi
+        J = J.at[ar, n + ar].add(-(p_bus / v + gii * v))        # -dP/dVi
+        J = J.at[n + rows_e, cols_e].add(t1 * offf)             # -dQ/dθj
+        J = J.at[n + rows_e, n + cols_e].add(-vi * gs * offf)   # -dQ/dVj
+        J = J.at[n + ar, ar].add(-(p_bus - gii * v * v))        # -dQ/dθi
+        J = J.at[n + ar, n + ar].add(-(q_bus / v - bii * v))    # -dQ/dVi
+        on = jnp.asarray(self.gen_on).astype(v.dtype)
+        gcols = 2 * n + jnp.arange(g)
+        J = J.at[self.gen_bus, gcols].add(on)
+        J = J.at[n + self.gen_bus, g + gcols].add(on)
+        r = 2 * n
+        J = J.at[r, self.slack].set(1.0)
+        r += 1
+        k = len(self.gen_off)
+        if k:
+            J = J.at[r + np.arange(k), 2 * n + self.gen_off].set(1.0)
+            r += k
+            J = J.at[r + np.arange(k), 2 * n + g + self.gen_off].set(1.0)
+            r += k
+        for idx, col0 in ((self.fixv_i, n), (self.fixp_i, 2 * n),
+                          (self.fixq_i, 2 * n + g)):
+            if len(idx):
+                J = J.at[r + np.arange(len(idx)), col0 + idx].set(1.0)
+                r += len(idx)
+        return J
+
+    def _flow_grads(self, theta, v, p):
+        """Per-row (dθf, dθt, dVf, dVt) of the flow-constraint values:
+        each row depends on exactly four state variables, so a vmapped
+        4-variable grad is exact and O(rows)."""
+        import jax
+        fb, tb = self.fl_fb, self.fl_tb
+        yff = p.yff[self.fl_k]
+        yft = p.yft[self.fl_k]
+        ytf = p.ytf[self.fl_k]
+        ytt = p.ytt[self.fl_k]
+        is_from = jnp.asarray(self.fl_from)
+        cls = jnp.asarray(self.fl_cls)
+        z = jnp.stack([theta[fb], theta[tb], v[fb], v[tb]], axis=1)
+        return jax.vmap(jax.grad(_flow_row_val))(z, yff, yft, ytf, ytt,
+                                                 is_from, cls)
+
+    def jac_ineq(self, x, p):
+        """Analytic inequality Jacobian, shape (m_i, n_x)."""
+        theta, v, pg, qg, hp, hq = self.split(x)
+        n, g = self.n, self.g
+        J = jnp.zeros((self.m_i, self.n_x), dtype=v.dtype)
+        br, bc, bs = self.ji_bound
+        if len(br):
+            J = J.at[br, bc].set(jnp.asarray(bs, dtype=v.dtype))
+        if len(self.cc_i):
+            J = J.at[self.ji_cc_rows, 2 * n + self.cc_i].add(-p.cc_aq)
+            J = J.at[self.ji_cc_rows, 2 * n + g + self.cc_i].add(-p.cc_ap)
+        if len(self.fl_k):
+            gz = self._flow_grads(theta, v, p)
+            for rows_j, mask, sgn in ((self.ji_fl_lo_rows, self.fl_has_lo,
+                                       1.0),
+                                      (self.ji_fl_hi_rows, self.fl_has_hi,
+                                       -1.0)):
+                if len(rows_j):
+                    gm = sgn * gz[mask]
+                    J = J.at[rows_j, self.fl_fb[mask]].add(gm[:, 0])
+                    J = J.at[rows_j, self.fl_tb[mask]].add(gm[:, 1])
+                    J = J.at[rows_j, n + self.fl_fb[mask]].add(gm[:, 2])
+                    J = J.at[rows_j, n + self.fl_tb[mask]].add(gm[:, 3])
+        if len(self.an_f):
+            J = J.at[self.ji_an_lo_rows, self.an_f].add(1.0)
+            J = J.at[self.ji_an_lo_rows, self.an_t].add(-1.0)
+            J = J.at[self.ji_an_hi_rows, self.an_f].add(-1.0)
+            J = J.at[self.ji_an_hi_rows, self.an_t].add(1.0)
+        for rows_j, (gi, hpos, _sl, _ic), sl, pq_col0, h_col0 in (
+                (self.ji_pwp_rows, self.pwp, p.pwp_slope, 2 * n,
+                 2 * n + 2 * g),
+                (self.ji_pwq_rows, self.pwq, p.pwq_slope, 2 * n + g,
+                 2 * n + 2 * g + self.n_hp)):
+            if len(gi):
+                J = J.at[rows_j, pq_col0 + gi].add(-sl)
+                J = J.at[rows_j, h_col0 + hpos].add(1.0)
+        return J
+
+    def hess(self, x, y, z, p):
+        """Analytic raw Lagrangian Hessian  ∇²f - Σ y ∇²c_E - Σ z ∇²c_I
+        (NlpProblem.hess convention): polynomial-cost diagonal, the
+        classic polar power-flow second derivatives per Y entry weighted
+        by the balance duals, and dual-weighted 4x4 vmapped blocks for
+        the flow rows. Every other row (bounds, capability, angle,
+        piecewise, slack/off/fix) is linear. The reference delegates this
+        assembly to JuMP/Ipopt's AD (acOptimalPowerFlow.jl:333); the
+        closed form replaces the chunked autodiff pass that dominated
+        pegase-scale IPM iterations."""
+        import jax
+        theta, v, pg, qg, hp, hq = self.split(x)
+        n, g = self.n, self.g
+        H = jnp.zeros((self.n_x, self.n_x), dtype=v.dtype)
+
+        # objective: d² of the polynomial costs, diagonal in pg/qg
+        for (kind, deg), idx, co in zip(self.poly_keys, self.poly_idx,
+                                        p.poly_co):
+            if deg < 2:
+                continue
+            pq = pg[idx] if kind == "p" else qg[idx]
+            acc = jnp.zeros_like(pq)
+            for j in range(deg - 1):  # descending coeffs of p''
+                k = deg - j
+                acc = acc * pq + co[:, j] * k * (k - 1)
+            col0 = 2 * n if kind == "p" else 2 * n + g
+            H = H.at[col0 + idx, col0 + idx].add(acc)
+
+        # balance rows: +y ∇²inj (c_E = sup - inj - pd, so -y∇²c = +y∇²inj)
+        rows_e, cols_e = self.rows, self.cols
+        vi = v[rows_e]
+        vj = v[cols_e]
+        th = theta[rows_e] - theta[cols_e]
+        ct = jnp.cos(th)
+        st = jnp.sin(th)
+        gc = p.yg * ct + p.yb * st
+        gs = p.yg * st - p.yb * ct
+        t1 = vi * vj * gc
+        t2 = vi * vj * gs
+        diag = rows_e == cols_e
+        offf = (~diag).astype(v.dtype)
+        yp = y[:n][rows_e] * offf
+        yq = y[n:2 * n][rows_e] * offf
+
+        ti, tj = rows_e, cols_e
+        vic, vjc = n + rows_e, n + cols_e
+        c_tt = -(yp * t1 + yq * t2)
+        H = H.at[ti, ti].add(c_tt)
+        H = H.at[tj, tj].add(c_tt)
+        H = H.at[ti, tj].add(-c_tt)
+        H = H.at[tj, ti].add(-c_tt)
+        c_tivi = -yp * vj * gs + yq * vj * gc
+        H = H.at[ti, vic].add(c_tivi)
+        H = H.at[vic, ti].add(c_tivi)
+        c_tivj = -yp * vi * gs + yq * vi * gc
+        H = H.at[ti, vjc].add(c_tivj)
+        H = H.at[vjc, ti].add(c_tivj)
+        c_tjvi = yp * vj * gs - yq * vj * gc
+        H = H.at[tj, vic].add(c_tjvi)
+        H = H.at[vic, tj].add(c_tjvi)
+        c_tjvj = yp * vi * gs - yq * vi * gc
+        H = H.at[tj, vjc].add(c_tjvj)
+        H = H.at[vjc, tj].add(c_tjvj)
+        c_vv = yp * gc + yq * gs
+        H = H.at[vic, vjc].add(c_vv)
+        H = H.at[vjc, vic].add(c_vv)
+        # diagonal Y entries: inj_i has vi² terms only
+        dsel = diag.astype(v.dtype)
+        c_dd = (y[:n][rows_e] * 2.0 * p.yg
+                - y[n:2 * n][rows_e] * 2.0 * p.yb) * dsel
+        H = H.at[vic, vic].add(c_dd)
+
+        # flow rows: z-weighted per-row 4x4 blocks
+        if len(self.fl_k):
+            wfl = jnp.zeros(len(self.fl_k), dtype=v.dtype)
+            if len(self.ji_fl_lo_rows):
+                wfl = wfl.at[np.flatnonzero(self.fl_has_lo)].add(
+                    -z[self.ji_fl_lo_rows])
+            if len(self.ji_fl_hi_rows):
+                wfl = wfl.at[np.flatnonzero(self.fl_has_hi)].add(
+                    z[self.ji_fl_hi_rows])
+            fb, tb = self.fl_fb, self.fl_tb
+            zrow = jnp.stack([theta[fb], theta[tb], v[fb], v[tb]], axis=1)
+            h4 = jax.vmap(jax.hessian(_flow_row_val))(
+                zrow, p.yff[self.fl_k], p.yft[self.fl_k],
+                p.ytf[self.fl_k], p.ytt[self.fl_k],
+                jnp.asarray(self.fl_from), jnp.asarray(self.fl_cls))
+            i4 = np.stack([fb, tb, n + fb, n + tb], axis=1)
+            for a in range(4):
+                for b in range(4):
+                    H = H.at[i4[:, a], i4[:, b]].add(wfl * h4[:, a, b])
+        return H
+
+
+def _flow_row_val(z, yff_e, yft_e, ytf_e, ytt_e, from_e, cls_e):
+    """One flow-constraint value from its four state variables
+    z = (θf, θt, Vf, Vt); vmapped with grad/hessian for the analytic
+    Jacobian/Hessian rows (must mirror _flow_values exactly)."""
+    thf, tht, vf_, vt_ = z[0], z[1], z[2], z[3]
+    vfc = vf_ * jnp.exp(1j * thf)
+    vtc = vt_ * jnp.exp(1j * tht)
+    i_ = jnp.where(from_e, vfc * yff_e + vtc * yft_e,
+                   vfc * ytf_e + vtc * ytt_e)
+    s = jnp.where(from_e, vfc, vtc) * jnp.conj(i_)
+    pp, qq = jnp.real(s), jnp.imag(s)
+    s2 = pp * pp + qq * qq
+    i2 = jnp.real(i_) ** 2 + jnp.imag(i_) ** 2
+    sqrt_s = jnp.sqrt(jnp.maximum(s2, 1e-24))
+    sqrt_i = jnp.sqrt(jnp.maximum(i2, 1e-24))
+    return jnp.select(
+        [cls_e == 1, cls_e == 2, cls_e == 3, cls_e == 4],
+        [pp, sqrt_s, s2, sqrt_i], i2)
+
 
 def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
     """Reference acOptimalPowerFlow (acOptimalPowerFlow.jl:44-250)."""
@@ -654,6 +927,9 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
     has_ineq = spec.ineq(jnp_.asarray(analysis._x0), spec.params) is not None
     problem = NlpProblem(objective=spec.objective, eq=spec.eq,
                          ineq=spec.ineq if has_ineq else None,
+                         jac_eq=spec.jac_eq,
+                         jac_ineq=spec.jac_ineq if has_ineq else None,
+                         hess=spec.hess,
                          params=spec.params)
     # dual carry is valid only against the same constraint layout: length
     # equality is not enough (two structural edits can keep counts equal

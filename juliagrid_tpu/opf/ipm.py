@@ -87,12 +87,13 @@ class NlpProblem:
     # what RESOURCE_EXHAUSTED'd the 16 GB chip in the round-3 bench.
     jac_eq: Optional[Callable] = None
     jac_ineq: Optional[Callable] = None
-    # analytic Lagrangian Hessian (x, y, z) -> (n_x, n_x). Only valid when
-    # the objective's Hessian is zero (the LAV family: linear objective):
-    # the duals arrive premultiplied by the internal row scalings, so the
-    # callable returns -Σ y_i ∇²c_E,i - Σ z_i ∇²c_I,i in raw-constraint
-    # space. For LPs (DC/PMU LAV) it is identically zero and skipping the
-    # chunked autodiff pass saves the dominant per-iteration cost.
+    # analytic Lagrangian Hessian (x, y, z) -> (n_x, n_x) of the RAW
+    # problem:  ∇²f - Σ y_i ∇²c_E,i - Σ z_j ∇²c_I,j.  The solver maps its
+    # internal scaled duals into raw space before calling and rescales the
+    # result, so the callable never sees the scaling. For LPs (DC/PMU LAV)
+    # it is identically zero and skipping the chunked autodiff pass saves
+    # the dominant per-iteration cost; for AC OPF it is the classic polar
+    # power-flow Hessian.
     hess: Optional[Callable] = None
 
 
@@ -429,11 +430,13 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if (m_e and je_raw is not None) else None
     jac_i_fn = (lambda xx, pp: pp["gi"][:, None] * ji_raw(xx, pp["p"])) \
         if (m_i and ji_raw is not None) else None
-    # hess receives duals premultiplied by the row scalings (raw-constraint
-    # space): with a linear objective, ∇²L = -Σ (ge_i y_i) ∇²c_E,i - ...
-    hess_fn = (lambda xx, yy, zz, pp: hess_raw(
-        xx, (pp["ge"] * yy) if m_e else yy,
-        (pp["gi"] * zz) if m_i else zz, pp["p"])) \
+    # hess convention: the user callable computes the RAW Lagrangian
+    # Hessian  ∇²f_raw - Σ ŷ_i ∇²c_E,i - Σ ẑ_j ∇²c_I,j  with duals mapped
+    # into raw-constraint space; the wrapper rescales the whole thing by
+    # sf so it equals the Hessian of the scaled Lagrangian the IPM steps on
+    hess_fn = (lambda xx, yy, zz, pp: pp["sf"] * hess_raw(
+        xx, (pp["ge"] * yy / pp["sf"]) if m_e else yy,
+        (pp["gi"] * zz / pp["sf"]) if m_i else zz, pp["p"])) \
         if hess_raw is not None else None
 
     step, kkt_error, metrics, resto_step, \
