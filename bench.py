@@ -263,15 +263,16 @@ def _se_scenarios(arr_host, nscen, spread=0.5, rng_seed=3):
 
 def _se_hbm_gb(chunk, rows, n_bus):
     """Rough per-chunk HBM footprint of the batched GN SE program: the
-    H-matrix plus a handful of same-shaped fused intermediates (weighted
-    rows, residual products) at f64, plus the per-scenario gain stack.
-    Used to pick chunk sizes that respect the 16 GB v5e budget."""
+    f64 H/WH plus their f32 casts and fused intermediates, plus the
+    per-scenario gain stack (the f64 gain matmul itself is gone — the
+    gain forms in f32 on the MXU). Used to pick chunk sizes that respect
+    the 16 GB v5e budget."""
     s = 2 * n_bus
-    per_scen = 6 * rows * s * 8 + 4 * s * s * 8
+    per_scen = 5 * rows * s * 8 + 4 * s * s * 8
     return round(chunk * per_scen / 2**30, 2)
 
 
-def _pick_chunk(rows, n_bus, budget_gb=6.0, cap=256):
+def _pick_chunk(rows, n_bus, budget_gb=8.0, cap=256):
     """Largest power-of-two scenario chunk whose estimated footprint fits
     the budget (the v5e has 16 GB; leave headroom for XLA temps)."""
     chunk = cap

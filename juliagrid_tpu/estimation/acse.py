@@ -620,7 +620,12 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
             d = jsl.lu_solve((lu, piv), res.astype(jnp.float32))
             return xv + d.astype(rhs.dtype)
 
-        dx = jax.lax.fori_loop(0, 3, body, dx)
+        # two sweeps: f64 GEMVs are VPU-emulated (~70 ms each at pegase)
+        # and GN only needs inexact-Newton increments — the final state
+        # accuracy is set by the convergence test on |dx|, not by the
+        # last digit of each step (zero-noise reproduction stays ≤1e-10,
+        # tests/test_estimation.py)
+        dx = jax.lax.fori_loop(0, 2, body, dx)
     dx = dx * col_mask
     return dx, jnp.max(jnp.abs(dx))
 

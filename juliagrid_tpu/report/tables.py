@@ -508,8 +508,23 @@ def print_pmu_data(monitoring, analysis=None, file=None, label=None,
     return tbl.render(file)
 
 
+def _box_duals(tags, z, lo_tag, hi_tag, size):
+    """Net bound dual per element from separate lo/hi inequality rows:
+    positive when the lower bound binds, negative when the upper binds
+    (JuMP's box-constraint dual sign convention in the reference)."""
+    out = np.zeros(size)
+    for (tag, el), zi in zip(tags, np.asarray(z)):
+        if tag == lo_tag:
+            out[el] += zi
+        elif tag == hi_tag:
+            out[el] -= zi
+    return out
+
+
 def print_bus_constraint(analysis, file=None, label=None, **kw):
-    """Reference printBusConstraint: OPF primal values and duals per bus."""
+    """Reference printBusConstraint (print/constraint.jl:1-180): voltage
+    magnitude Minimum/Solution/Maximum/Dual and active/reactive power
+    balance Solution/Dual per bus."""
     system = analysis.system
     n = system.bus.number
     idxs = [system.bus.label.index(label)] if label is not None \
@@ -517,22 +532,49 @@ def print_bus_constraint(analysis, file=None, label=None, **kw):
     tbl = Table(**_tablekw(kw, "Bus Constraint Data"))
     tbl.add_column("Label", [str(system.bus.label.label(i))
                              for i in idxs])
+    dual = analysis.method.dual if analysis.method.dual else {}
+    tags = dual.get("ineq_tags", [])
+    z = dual.get("ineq", np.zeros(0))
+    spec = getattr(analysis, "_spec", None)
     if hasattr(analysis.voltage, "magnitude"):
         vm = np.asarray(analysis.voltage.magnitude)
-        tbl.add_column("Voltage Magnitude", vm[idxs])
-    dual = analysis.method.dual if analysis.method.dual else {}
+        tbl.add_column("Voltage Magnitude Minimum",
+                       system.bus.voltage.min_magnitude.array[:n][idxs])
+        tbl.add_column("Voltage Magnitude Solution", vm[idxs])
+        tbl.add_column("Voltage Magnitude Maximum",
+                       system.bus.voltage.max_magnitude.array[:n][idxs])
+        if len(tags):
+            vd = _box_duals(tags, z, "voltage_min", "voltage_max", n)
+            tbl.add_column("Voltage Magnitude Dual", vd[idxs],
+                           fmt="{:.4e}")
+    # balance solution = constraint residual at the optimum (~0)
+    has_eq = (spec is not None and hasattr(spec, "eq")
+              and hasattr(spec, "params")
+              and getattr(analysis, "_x0", None) is not None)
+    if has_eq:
+        import jax.numpy as jnp
+        ce = np.asarray(spec.eq(jnp.asarray(analysis._x0), spec.params))
+        tbl.add_column("Active Power Balance Solution",
+                       ce[:n][idxs], fmt="{:.2e}")
     bal = dual.get("balance", dual.get("balance_active"))
     if bal is not None:
-        tbl.add_column("Active Balance Dual", np.asarray(bal)[idxs],
+        tbl.add_column("Active Power Balance Dual", np.asarray(bal)[idxs],
                        fmt="{:.4e}")
+    if has_eq:
+        tbl.add_column("Reactive Power Balance Solution",
+                       ce[n:2 * n][idxs], fmt="{:.2e}")
     bal_q = dual.get("balance_reactive")
     if bal_q is not None:
-        tbl.add_column("Reactive Balance Dual", np.asarray(bal_q)[idxs],
-                       fmt="{:.4e}")
+        tbl.add_column("Reactive Power Balance Dual",
+                       np.asarray(bal_q)[idxs], fmt="{:.4e}")
     return tbl.render(file)
 
 
 def print_branch_constraint(analysis, file=None, label=None, **kw):
+    """Reference printBranchConstraint (print/constraint.jl:430-780):
+    angle-difference and flow Minimum/Solution/Maximum/Dual per
+    constrained branch, plus the generic tag/dual rows for anything the
+    column layout doesn't cover."""
     system = analysis.system
     dual = analysis.method.dual if analysis.method.dual else {}
     tags = dual.get("ineq_tags", [])
@@ -541,18 +583,55 @@ def print_branch_constraint(analysis, file=None, label=None, **kw):
         z = np.asarray(list(dual["ineq"].values()))
     tbl = Table(**_tablekw(kw, "Branch Constraint Data"))
     want = system.branch.label.index(label) if label is not None else None
+    spec = getattr(analysis, "_spec", None)
+
+    if spec is not None and getattr(spec, "fl_k", None) is not None \
+            and len(getattr(spec, "fl_k", ())):
+        # per-branch flow columns from the spec's vectorized flow rows
+        import jax.numpy as jnp
+        x = jnp.asarray(analysis._x0)
+        theta, v = x[:spec.n], x[spec.n:2 * spec.n]
+        vals = np.asarray(spec._flow_values(theta, v, spec.params))
+        fl_dual = np.zeros(len(spec.fl_k))
+        for (tag, el), zi in zip(tags, z):
+            if tag.startswith("flow_") and tag.endswith("_min"):
+                fl_dual[np.flatnonzero(spec.fl_k == el)] += zi
+            elif tag.startswith("flow_") and tag.endswith("_max"):
+                fl_dual[np.flatnonzero(spec.fl_k == el)] -= zi
+        sel = np.arange(len(spec.fl_k)) if want is None \
+            else np.flatnonzero(spec.fl_k == want)
+        tbl.add_column("Label", [str(system.branch.label.label(
+            int(spec.fl_k[i]))) for i in sel])
+        tbl.add_column("Flow Side", ["from" if spec.fl_from[i] else "to"
+                                     for i in sel])
+        tbl.add_column("Flow Minimum", spec.fl_lo[sel])
+        tbl.add_column("Flow Solution", vals[sel])
+        tbl.add_column("Flow Maximum", spec.fl_hi[sel])
+        tbl.add_column("Flow Dual", fl_dual[sel], fmt="{:.4e}")
     rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
-            if ("flow" in tag or "angle" in tag)
-            and (want is None or el == want)]
-    tbl.add_column("Constraint", [r[0] for r in rows])
-    tbl.add_column("Branch", [str(system.branch.label.label(r[1]))
-                              for r in rows])
-    tbl.add_column("Dual", [r[2] for r in rows], fmt="{:.4e}")
+            if "angle" in tag and (want is None or el == want)]
+    if rows:
+        tbl.add_column("Angle Constraint", [r[0] for r in rows])
+        tbl.add_column("Angle Branch",
+                       [str(system.branch.label.label(r[1]))
+                        for r in rows])
+        tbl.add_column("Angle Dual", [r[2] for r in rows], fmt="{:.4e}")
+    if not tbl.columns:
+        rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
+                if ("flow" in tag or "angle" in tag)
+                and (want is None or el == want)]
+        tbl.add_column("Constraint", [r[0] for r in rows])
+        tbl.add_column("Branch", [str(system.branch.label.label(r[1]))
+                                  for r in rows])
+        tbl.add_column("Dual", [r[2] for r in rows], fmt="{:.4e}")
     return tbl.render(file)
 
 
 def print_generator_constraint(analysis, file=None, label=None, **kw):
+    """Reference printGeneratorConstraint (print/constraint.jl:880-1100):
+    active/reactive output Minimum/Solution/Maximum/Dual per generator."""
     system = analysis.system
+    g = system.generator.number
     dual = analysis.method.dual if analysis.method.dual else {}
     tags = dual.get("ineq_tags", [])
     z = np.asarray(dual.get("ineq", []))
@@ -561,6 +640,34 @@ def print_generator_constraint(analysis, file=None, label=None, **kw):
     tbl = Table(**_tablekw(kw, "Generator Constraint Data"))
     want = system.generator.label.index(label) if label is not None \
         else None
+    idxs = [want] if want is not None else list(range(g))
+    power = getattr(analysis, "power", None)
+    if power is not None and getattr(power, "generator", None) is not None:
+        cap = system.generator.capability
+        pg = np.asarray(power.generator.active)
+        qg = np.asarray(power.generator.reactive)
+        tbl.add_column("Label", [str(system.generator.label.label(i))
+                                 for i in idxs])
+        tbl.add_column("Active Power Minimum",
+                       cap.min_active.array[:g][idxs])
+        tbl.add_column("Active Power Solution", pg[idxs])
+        tbl.add_column("Active Power Maximum",
+                       cap.max_active.array[:g][idxs])
+        has_q = len(qg) >= g  # DC OPF carries no reactive outputs
+        if has_q:
+            tbl.add_column("Reactive Power Minimum",
+                           cap.min_reactive.array[:g][idxs])
+            tbl.add_column("Reactive Power Solution", qg[idxs])
+            tbl.add_column("Reactive Power Maximum",
+                           cap.max_reactive.array[:g][idxs])
+        if len(tags):
+            pd = _box_duals(tags, z, "active_min", "active_max", g)
+            tbl.add_column("Active Power Dual", pd[idxs], fmt="{:.4e}")
+            if has_q:
+                qd = _box_duals(tags, z, "reactive_min", "reactive_max", g)
+                tbl.add_column("Reactive Power Dual", qd[idxs],
+                               fmt="{:.4e}")
+        return tbl.render(file)
     rows = [(tag, el, z[i]) for i, (tag, el) in enumerate(tags)
             if ("capability" in tag or "active" in tag
                 or "reactive" in tag)

@@ -40,9 +40,36 @@ def test_constraint_tables(data_path):
     solve(analysis)
     buf = io.StringIO()
     out = jg.print_bus_constraint(analysis, file=buf)
-    assert "Active Balance Dual" in out
+    assert "Active Power Balance Dual" in out
     out = jg.print_generator_constraint(analysis, file=buf)
     assert "Generator Constraint" in out
+
+
+def test_ac_constraint_tables_full_columns(data_path):
+    """Reference print/constraint.jl column sets: Minimum/Solution/
+    Maximum/Dual per quantity."""
+    system = jg.power_system(str(data_path / "case14optimal.m"))
+    opf = jg.ac_optimal_power_flow(system)
+    power_flow(opf, power=True)
+    buf = io.StringIO()
+    out = jg.print_bus_constraint(opf, file=buf)
+    for col in ("Voltage Magnitude Minimum", "Voltage Magnitude Solution",
+                "Voltage Magnitude Maximum", "Voltage Magnitude Dual",
+                "Active Power Balance Solution",
+                "Active Power Balance Dual",
+                "Reactive Power Balance Solution",
+                "Reactive Power Balance Dual"):
+        assert col in out, col
+    out = jg.print_generator_constraint(opf, file=io.StringIO())
+    for col in ("Active Power Minimum", "Active Power Solution",
+                "Active Power Maximum", "Active Power Dual",
+                "Reactive Power Solution"):
+        assert col in out, col
+    out = jg.print_branch_constraint(opf, file=io.StringIO())
+    if len(opf._spec.fl_k):
+        for col in ("Flow Minimum", "Flow Solution", "Flow Maximum",
+                    "Flow Dual"):
+            assert col in out, col
 
 
 def test_measurement_residual_column(data_path):
