@@ -974,12 +974,15 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # unsteppable, restoration failure) land here with converged=False even
     # when the best iterate is, for every practical purpose, the solution —
     # e.g. the degenerate KKT left behind by removing a binding constraint
-    # (remove! live-edit, optimalPowerFlow/utility.jl:303-326). Mirror the
-    # stall exit above: accept the best iterate at the acceptable level.
-    if not converged and best is not None and best[0] < acceptable_tol:
-        converged = True
-    status = "optimal" if err < tol else (
-        "acceptable" if converged else "failed")
+    # (remove! live-edit, optimalPowerFlow/utility.jl:303-326). Those exits
+    # report status="acceptable"; `converged` keeps its STRICT meaning
+    # (KKT error < tol) so existing callers' contract is unchanged —
+    # success checks that tolerate the acceptable level must test
+    # ``status in ("optimal", "acceptable")``.
+    converged = err < tol
+    acceptable = best is not None and best[0] < acceptable_tol
+    status = "optimal" if converged else (
+        "acceptable" if acceptable else "failed")
     # un-scale the duals: min σf s.t. Gc(x) = 0 has multipliers Gỹ/σ for
     # the original constraints (stationarity σ∇f = JᵀGỹ + ...)
     inv = 1.0 / scale_f

@@ -267,6 +267,11 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
     idx = branch.label.index(label)
     prm = branch.parameter
 
+    # validate every raising conversion BEFORE touching the stamps, so a
+    # bad argument cannot leave the Y-bus/B matrices half-updated
+    if status is not None:
+        status = check_status(status)
+
     # subtract the OLD stamps before any mutation (reference updateBranch!
     # does exactly this dance: -stamp, mutate, +stamp; branch.jl:307-471)
     from .model import (ac_nodal_update, ac_parameter_update,
@@ -280,6 +285,36 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
         dc_shift_update(system, idx, sign=-1.0)
         dc_nodal_update(system, idx, sign=-1.0)
 
+    try:
+        _update_branch_body(
+            system, idx, status=status, resistance=resistance,
+            reactance=reactance, conductance=conductance,
+            susceptance=susceptance, turns_ratio=turns_ratio,
+            shift_angle=shift_angle, min_diff_angle=min_diff_angle,
+            max_diff_angle=max_diff_angle, min_from_bus=min_from_bus,
+            max_from_bus=max_from_bus, min_to_bus=min_to_bus,
+            max_to_bus=max_to_bus, type=type)
+    finally:
+        # re-add stamps consistent with the CURRENT (possibly partially
+        # mutated) parameters — the invariant Y-bus == assembly(params)
+        # holds even if the mutation raised mid-way
+        if has_ac:
+            ac_parameter_update(system, idx)
+            ac_nodal_update(system, idx, sign=1.0)
+        if has_dc:
+            dc_parameter_update(system, idx)
+            dc_nodal_update(system, idx, sign=1.0)
+            dc_shift_update(system, idx, sign=1.0)
+    return idx
+
+
+def _update_branch_body(system, idx, *, status, resistance, reactance,
+                        conductance, susceptance, turns_ratio, shift_angle,
+                        min_diff_angle, max_diff_angle, min_from_bus,
+                        max_from_bus, min_to_bus, max_to_bus, type):
+    branch = system.branch
+    u = units
+    prm = branch.parameter
     i = int(branch.layout.from_bus[idx])
     tau = turns_ratio if turns_ratio is not None \
         else float(prm.turns_ratio[idx])
@@ -306,12 +341,11 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
             else float(shift_angle)
         changed = True
 
-    if status is not None:
-        st = check_status(status)
+    if status is not None:  # already validated by update_branch
         old = int(branch.layout.status[idx])
-        if st != old:
-            branch.layout.status[idx] = st
-            branch.layout.inservice += 1 if st == 1 else -1
+        if status != old:
+            branch.layout.status[idx] = status
+            branch.layout.inservice += 1 if status == 1 else -1
             changed = True
 
     if branch.flow.type is not None:
@@ -334,24 +368,16 @@ def update_branch(system: PowerSystem, label, *, status=None, resistance=None,
                 getattr(branch.voltage, name)[idx] = \
                     value * u.pfx_angle if u.pfx_angle else float(value)
 
-    # refresh the per-branch stamps from the (possibly) new parameters and
-    # add them back — O(log nnz) instead of the O(nnz + m) full reassembly
+    # the caller (update_branch) refreshes the per-branch stamps and adds
+    # them back — O(log nnz) instead of the O(nnz + m) full reassembly
     # (the pattern keeps out-of-service slots as structural zeros, so even
     # status flips are value-only and no analysis needs a symbolic rebuild)
-    if has_ac:
-        ac_parameter_update(system, idx)
-        ac_nodal_update(system, idx, sign=1.0)
-    if has_dc:
-        dc_parameter_update(system, idx)
-        dc_nodal_update(system, idx, sign=1.0)
-        dc_shift_update(system, idx, sign=1.0)
     if changed:
         system.ac_model_changed()
         system.dc_model_changed()
         system.model.revision.topology += 1
     else:
         system.optimization_changed()
-    return idx
 
 
 def add_generator(system: PowerSystem, label=None, *, bus, active=None,

@@ -140,7 +140,11 @@ def ac_parameter_update(system: PowerSystem, idx: int) -> None:
     bs = float(br.parameter.susceptance[idx])
     tau = float(br.parameter.turns_ratio[idx])
     phi = float(br.parameter.shift_angle[idx])
-    y = 1.0 / (r + 1j * x)
+    # numpy scalar division under errstate so a zero-impedance branch
+    # yields the same value the vectorized ac_model assembly produces
+    # instead of raising ZeroDivisionError mid-update
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = complex(np.complex128(1.0) / np.complex128(complex(r, x)))
     tau_inv = 1.0 / tau
     a = tau_inv * np.exp(-1j * phi)
     ytt = y + 0.5 * (gs + 1j * bs)
@@ -158,7 +162,9 @@ def dc_parameter_update(system: PowerSystem, idx: int) -> None:
     st = int(br.layout.status[idx])
     x = float(br.parameter.reactance[idx])
     tau = float(br.parameter.turns_ratio[idx])
-    dc.admittance[idx] = 1.0 / (tau * x) if st == 1 else 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dc.admittance[idx] = \
+            float(np.float64(1.0) / np.float64(tau * x)) if st == 1 else 0.0
 
 
 def ac_nodal_update(system: PowerSystem, idx: int, sign: float = 1.0) -> None:

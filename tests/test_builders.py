@@ -79,3 +79,55 @@ def test_builder_equivalence_case14(data_path):
     assert a1.method.iteration == a2.method.iteration
     np.testing.assert_allclose(a2.voltage.magnitude, a1.voltage.magnitude,
                                atol=1e-12)
+
+
+def test_update_branch_invalid_status_leaves_model_intact(data_path):
+    """A raising update_branch (invalid status) must not corrupt the
+    incrementally-stamped Y-bus/B matrices (advisor round-3 finding:
+    the -stamp ran before validation)."""
+    from juliagrid_tpu.utils.errors import DeviceStatusError
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    jg.ac_model(system)
+    jg.dc_model(system)
+    y0 = system.model.ac.nodal.toarray().copy()
+    b0 = system.model.dc.nodal.toarray().copy()
+    shift0 = system.model.dc.shift_power.copy()
+
+    with pytest.raises((DeviceStatusError, ValueError)):
+        jg.update_branch(system, system.branch.label.label(2), status=7)
+
+    np.testing.assert_allclose(system.model.ac.nodal.toarray(), y0,
+                               atol=1e-14)
+    np.testing.assert_allclose(system.model.dc.nodal.toarray(), b0,
+                               atol=1e-14)
+    np.testing.assert_allclose(system.model.dc.shift_power, shift0,
+                               atol=1e-14)
+
+    # and a later NR solve matches a freshly loaded system exactly
+    a1 = newton_raphson(system)
+    power_flow(a1)
+    fresh = jg.power_system(str(data_path / "case14test.m"))
+    a2 = newton_raphson(fresh)
+    power_flow(a2)
+    assert a1.method.iteration == a2.method.iteration
+    np.testing.assert_allclose(a1.voltage.magnitude, a2.voltage.magnitude,
+                               atol=1e-12)
+
+
+def test_update_branch_mid_mutation_failure_keeps_consistency(data_path):
+    """If a conversion raises mid-mutation, the stamps are re-added from
+    the current parameters: Y-bus == assembly(params) still holds."""
+    system = jg.power_system(str(data_path / "case14test.m"))
+    jg.ac_model(system)
+    with pytest.raises((TypeError, ValueError)):
+        jg.update_branch(system, system.branch.label.label(2),
+                         resistance=0.05, shift_angle=object())
+    # resistance landed, shift_angle didn't; Y-bus must equal the full
+    # reassembly of the (partially mutated) host parameters
+    from juliagrid_tpu.system.model import ac_model as full_ac
+    patched = system.model.ac.nodal.toarray().copy()
+    system.model.ac.nodal = None
+    full_ac(system)
+    np.testing.assert_allclose(patched, system.model.ac.nodal.toarray(),
+                               atol=1e-12)
