@@ -25,10 +25,29 @@ if not os.environ.get("JGTPU_NO_X64"):
 
 # Persistent compilation cache: first compiles through the TPU tunnel cost
 # 30-160 s; cached reloads take milliseconds. Opt out with JGTPU_NO_CACHE=1.
+# The directory is scoped by a host-CPU fingerprint: the home dir persists
+# across rounds that may land on different machines, and XLA:CPU AOT
+# executables compiled for another host's CPU features load with a
+# SIGILL-risk warning (observed round 4: avx512-extras mismatch).
 if not os.environ.get("JGTPU_NO_CACHE"):
+    def _host_fingerprint():
+        import hashlib
+        import platform
+        tag = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        tag += line
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(tag.encode()).hexdigest()[:10]
+
     _cache_dir = os.environ.get(
         "JGTPU_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "juliagrid_tpu"))
+        os.path.join(os.path.expanduser("~"), ".cache", "juliagrid_tpu",
+                     _host_fingerprint()))
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

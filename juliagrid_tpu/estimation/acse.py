@@ -135,6 +135,16 @@ class AcStateEstimation:
         rev = self.system.model.revision
         mrev = self.monitoring.revision
         sig = self.signature
+        if sig and sig.get("slack") != rev.slack:
+            # angle datum moved with the slack: shift the live state's
+            # angles uniformly so the new slack sits at the system's stored
+            # angle — the datum a fresh build pins (see AcPowerFlow.
+            # _refresh_arrays; flows/residuals are datum-invariant)
+            bus = self.system.bus
+            slack = bus.layout.slack
+            va = np.asarray(self.voltage.angle, dtype=float).copy()
+            va = va + (float(bus.voltage.angle[slack]) - va[slack])
+            self.voltage.angle = va
         if (sig.get("ac_model") != rev.ac_model
                 or sig.get("measurement") != mrev.measurement
                 or sig.get("slack") != rev.slack):
@@ -600,6 +610,7 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
             dx = linalg.pw_lsq_solve(A, b)
         else:
             dx = linalg.solve(linalg.factorize(A, linalg.QR), b)
+        rel = jnp.asarray(0.0, dtype=vm.dtype)  # square-root path: no gate
     else:
         WH, wr = _weighted(arr, Hm, r)
         rhs = Hm.T @ wr                      # O(m·n) f64 — cheap
@@ -615,41 +626,56 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
         dx = jsl.lu_solve((lu, piv),
                           rhs.astype(jnp.float32)).astype(rhs.dtype)
 
-        def body(_, xv):
+        # residual-gated refinement: sweep (two O(m·n) f64 GEMVs each)
+        # until the operator residual of the normal equations is tiny or
+        # the sweep cap is hit. Well-conditioned gains exit after the same
+        # 2 sweeps as the old fixed count (zero-noise reproduction stays
+        # ≤1e-10, tests/test_estimation.py); an ill-conditioned gain
+        # (cond ≳ 1e7, where the f32 factor stops contracting) keeps the
+        # residual high, the loop stops making progress, and the returned
+        # ``rel`` lets the driver escalate to the QR path instead of
+        # silently degrading the increment.
+        rhs_norm = jnp.linalg.norm(rhs) + 1e-300
+
+        def sweep_cond(c):
+            _, rel, prev, k = c
+            return (rel > 1e-13) & (rel < 0.5 * prev) & (k < 8)
+
+        def sweep(c):
+            xv, rel, _, k = c
             res = rhs - op(xv)
             d = jsl.lu_solve((lu, piv), res.astype(jnp.float32))
-            return xv + d.astype(rhs.dtype)
+            return (xv + d.astype(rhs.dtype),
+                    jnp.linalg.norm(res) / rhs_norm, rel, k + 1)
 
-        # two sweeps: f64 GEMVs are VPU-emulated (~70 ms each at pegase)
-        # and GN only needs inexact-Newton increments — the final state
-        # accuracy is set by the convergence test on |dx|, not by the
-        # last digit of each step (zero-noise reproduction stays ≤1e-10,
-        # tests/test_estimation.py)
-        dx = jax.lax.fori_loop(0, 2, body, dx)
+        # always take the first sweep (matches the old fixed-2 minimum)
+        dx, rel, _, _ = sweep((dx, jnp.inf, jnp.inf, 0))
+        dx, rel, _, _ = jax.lax.while_loop(
+            sweep_cond, sweep, (dx, rel, jnp.inf, 1))
     dx = dx * col_mask
-    return dx, jnp.max(jnp.abs(dx))
+    return dx, jnp.max(jnp.abs(dx)), rel
 
 
 @partial(jax.jit, static_argnames=("kind", "max_iter"))
 def _se_solve(arr: SeArrays, net: AcArrays, vm, va, tol: float,
               max_iter: int, kind: str):
-    dx, maxinc = gn_increment(arr, net, vm, va, kind)
+    dx, maxinc, rel = gn_increment(arr, net, vm, va, kind)
     n = vm.shape[0]
 
     def cond(carry):
-        vm, va, dx, maxinc, it = carry
+        vm, va, dx, maxinc, relmax, it = carry
         return (maxinc >= tol) & (it < max_iter)
 
     def body(carry):
-        vm, va, dx, _, it = carry
+        vm, va, dx, _, relmax, it = carry
         va = va + dx[:n]
         vm = vm + dx[n:]
-        dx, maxinc = gn_increment(arr, net, vm, va, kind)
-        return vm, va, dx, maxinc, it + 1
+        dx, maxinc, rel = gn_increment(arr, net, vm, va, kind)
+        return vm, va, dx, maxinc, jnp.maximum(relmax, rel), it + 1
 
-    vm, va, dx, maxinc, it = jax.lax.while_loop(
-        cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
-    return vm, va, it, maxinc, maxinc < tol
+    vm, va, dx, maxinc, relmax, it = jax.lax.while_loop(
+        cond, body, (vm, va, dx, maxinc, rel, jnp.int64(0)))
+    return vm, va, it, maxinc, maxinc < tol, relmax
 
 
 def _wls_objective(arr: SeArrays, net: AcArrays, vm, va):
@@ -669,15 +695,15 @@ def _se_solve_damped(arr: SeArrays, net: AcArrays, vm, va, tol: float,
     """Gauss-Newton with backtracking on the WLS objective — robust for
     low-redundancy / polar-phasor sets from flat starts (the reference's
     plain iteration can diverge there)."""
-    dx, maxinc = gn_increment(arr, net, vm, va, kind)
+    dx, maxinc, rel = gn_increment(arr, net, vm, va, kind)
     n = vm.shape[0]
 
     def cond(carry):
-        vm, va, dx, maxinc, it = carry
+        vm, va, dx, maxinc, relmax, it = carry
         return (maxinc >= tol) & (it < max_iter)
 
     def body(carry):
-        vm, va, dx, _, it = carry
+        vm, va, dx, _, relmax, it = carry
         j0 = _wls_objective(arr, net, vm, va)
 
         def bt_cond(c):
@@ -695,12 +721,12 @@ def _se_solve_damped(arr: SeArrays, net: AcArrays, vm, va, tol: float,
         alpha, _ = jax.lax.while_loop(bt_cond, bt_body, (1.0, j1))
         va = va + alpha * dx[:n]
         vm = vm + alpha * dx[n:]
-        dx, maxinc = gn_increment(arr, net, vm, va, kind)
-        return vm, va, dx, maxinc, it + 1
+        dx, maxinc, rel = gn_increment(arr, net, vm, va, kind)
+        return vm, va, dx, maxinc, jnp.maximum(relmax, rel), it + 1
 
-    vm, va, dx, maxinc, it = jax.lax.while_loop(
-        cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
-    return vm, va, it, maxinc, maxinc < tol
+    vm, va, dx, maxinc, relmax, it = jax.lax.while_loop(
+        cond, body, (vm, va, dx, maxinc, rel, jnp.int64(0)))
+    return vm, va, it, maxinc, maxinc < tol, relmax
 
 
 _gn_increment_jit = jax.jit(gn_increment, static_argnames="kind")
@@ -758,10 +784,11 @@ def increment(analysis: AcStateEstimation) -> float:
     kind = analysis.method.factorization \
         if analysis.method.factorization in (linalg.QR, linalg.PW) \
         else linalg.LU
-    dx, maxinc = _gn_increment_jit(analysis.arrays, analysis.net, vm, va,
-                                   kind)
+    dx, maxinc, rel = _gn_increment_jit(analysis.arrays, analysis.net,
+                                        vm, va, kind)
     analysis.method._pending_dx = np.asarray(dx)
     analysis.method.max_increment = float(maxinc)
+    analysis.method.refine_residual = float(rel)
     return float(maxinc)
 
 
@@ -843,9 +870,24 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
         solver = _se_solve_damped if damping else _se_solve
         with analysis.method.timings.span("solve"), \
                 default_timings.span("se.solve"):
-            vm, va, it, maxinc, converged = solver(
+            vm, va, it, maxinc, converged, relmax = solver(
                 analysis.arrays, analysis.net, vm, va, tolerance, iteration,
                 kind)
+            if kind not in (linalg.QR, linalg.PW) and \
+                    float(relmax) > 1e-6 and \
+                    analysis.arrays.pair_r1.shape[0] == 0:
+                # refinement gate tripped: the f32-factorized gain could
+                # not be refined to a trustworthy increment (cond ≳ 1e7 —
+                # heavy PMU weight ratios, near-unobservable islands).
+                # Escalate to the square-root (QR) method, the reference's
+                # own remedy for ill-conditioned normal equations
+                # (acStateEstimation.jl:878-931 Orthogonal rationale).
+                analysis.method.refine_escalated = True
+                vm = jnp.asarray(analysis.voltage.magnitude)
+                va = jnp.asarray(analysis.voltage.angle)
+                vm, va, it, maxinc, converged, relmax = solver(
+                    analysis.arrays, analysis.net, vm, va, tolerance,
+                    iteration, linalg.QR)
             # host readbacks block on the device loop: the span measures
             # the full solve, not just the dispatch
             analysis.voltage.magnitude = np.asarray(vm)
@@ -853,6 +895,7 @@ def state_estimation(analysis, iteration: int = 40, tolerance: float = 1e-8,
         analysis.method.iteration = int(it)
         analysis.method.converged = bool(converged)
         analysis.method.max_increment = float(maxinc)
+        analysis.method.refine_residual = float(relmax)
         if verbose:
             from ..report.solver import print_exit
             print_exit("gauss_newton", bool(converged), not bool(converged),

@@ -133,28 +133,32 @@ def batched_se_solve(arr, net, vm0, va0, means,
     v_inc = jax.vmap(one_increment)
 
     n = vm0.shape[1]
-    dx, maxinc = v_inc(means, vm0, va0)
+    dx, maxinc, rel = v_inc(means, vm0, va0)
     active0 = maxinc >= tol
 
     def cond(carry):
-        vm, va, dx, active, iters, it = carry
+        vm, va, dx, active, relmax, iters, it = carry
         return jnp.any(active) & (it < max_iter)
 
     def body(carry):
-        vm, va, dx, active, iters, it = carry
+        vm, va, dx, active, relmax, iters, it = carry
         va = jnp.where(active[:, None], va + dx[:, :n], va)
         vm = jnp.where(active[:, None], vm + dx[:, n:], vm)
         iters = iters + active.astype(iters.dtype)
-        dx, maxinc = v_inc(means, vm, va)
+        dx, maxinc, rel = v_inc(means, vm, va)
+        relmax = jnp.where(active, jnp.maximum(relmax, rel), relmax)
         active = active & (maxinc >= tol)
-        return vm, va, dx, active, iters, it + 1
+        return vm, va, dx, active, relmax, iters, it + 1
 
     nscen = vm0.shape[0]
-    vm, va, dx, active, iters, it = jax.lax.while_loop(
+    vm, va, dx, active, relmax, iters, it = jax.lax.while_loop(
         cond, body,
-        (vm0, va0, dx, active0, jnp.zeros(nscen, dtype=jnp.int32),
+        (vm0, va0, dx, active0, rel, jnp.zeros(nscen, dtype=jnp.int32),
          jnp.int32(0)))
-    return vm, va, iters, ~active
+    # a lane whose refinement gate tripped (f32 gain too ill-conditioned
+    # to refine) is NOT a trustworthy solve: report it unconverged so the
+    # caller can route it through the QR path instead of trusting it
+    return vm, va, iters, ~active & (relmax <= 1e-6)
 
 
 batched_se_solve_jit = jax.jit(batched_se_solve,
@@ -198,3 +202,32 @@ def batched_nr_solve_f32(arr: AcArrays, vm0, va0, p_sched, q_sched,
 
 batched_nr_solve_f32_jit = jax.jit(batched_nr_solve_f32,
                                    static_argnames=("tol", "max_iter"))
+
+
+# ---------------------------------------------------------------------------
+# Batched DC power flow: factorize once, batch the triangular solves
+# ---------------------------------------------------------------------------
+
+def batched_dc_solve(arr, p_sched, method: str = "LU"):
+    """Batched DC power flow over demand/injection scenarios.
+
+    ``arr`` is a ``DcArrays`` snapshot (powerflow/dc.py); ``p_sched`` is
+    f64[nscen, n] scheduled injections. The (shared) slack-masked B'
+    matrix is factorized ONCE on the MXU and the per-scenario triangular
+    solves are batched — the amortization the constant DC matrix exists
+    for (the reference re-factorizes per run, dcPowerFlow.jl:165-193).
+
+    Returns f64[nscen, n] bus angles.
+    """
+    from ..ops import linalg as _lin
+
+    n = arr.b_dense.shape[0]
+    m = (jnp.arange(n) != arr.slack).astype(arr.b_dense.dtype)
+    b = m[:, None] * arr.b_dense * m[None, :] + jnp.diag(1.0 - m)
+    fac = _lin.factorize(b, method)
+    rhs = (p_sched - arr.shift[None, :] - arr.gshunt[None, :]) * m[None, :]
+    theta = jax.vmap(lambda r: _lin.solve(fac, r))(rhs)
+    return theta + arr.slack_angle
+
+
+batched_dc_solve_jit = jax.jit(batched_dc_solve, static_argnames="method")

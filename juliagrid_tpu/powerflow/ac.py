@@ -243,6 +243,26 @@ class AcPowerFlow:
         treats both as a snapshot refresh)."""
         rev = self.system.model.revision
         sig = self.signature
+        if sig and (sig.get("type") != rev.type
+                    or sig.get("slack") != rev.slack):
+            # The pinned-row VALUES are device state too: when the pin set
+            # moves (bus type change, slack re-designation) the live state
+            # must re-seed PV/slack magnitudes from generator setpoints and
+            # move the angle datum to the new slack's stored angle — a
+            # uniform shift that keeps the warm start (flows are datum-
+            # invariant) while matching a fresh build's reference exactly
+            # (reference changeSlackBus!, acPowerFlow.jl:1334-1358).
+            magnitude, angle = initialize_ac_power_flow(self.system)
+            bus = self.system.bus
+            n = bus.number
+            vm = np.asarray(self.voltage.magnitude, dtype=float).copy()
+            va = np.asarray(self.voltage.angle, dtype=float).copy()
+            pinned = np.asarray(bus.layout.type[:n]) != 1
+            vm[pinned] = magnitude[pinned]
+            slack = bus.layout.slack
+            va = va + (angle[slack] - va[slack])
+            self.voltage.magnitude = vm
+            self.voltage.angle = va
         if (sig.get("ac_model") != rev.ac_model
                 or sig.get("ac_pattern") != rev.ac_pattern
                 or sig.get("type") != rev.type

@@ -198,3 +198,72 @@ def test_peters_wilkinson_path(data_path):
     assert pw.method.converged
     np.testing.assert_allclose(pw.voltage.magnitude, pf.voltage.magnitude,
                                atol=1e-9)
+
+
+def test_normal_path_refinement_gate_ill_conditioned_at_scale(data_path):
+    """Residual-gated refinement on the f32-MXU Normal-equations gain,
+    ill-conditioned case at 118-bus scale: a 1e16 weight ratio spread
+    across the full voltmeter set drives cond(H'WH) ≈ 1e14 — far past the
+    nominal cond·eps32 < 1 comfort zone — and the gated sweeps must keep
+    refining until the operator residual is tiny (reported via
+    ``method.refine_residual``) instead of stopping at a fixed count,
+    recovering the exact state."""
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.powerflow.ac import newton_raphson
+    from juliagrid_tpu.powerflow.driver import power_flow
+
+    system = jg.power_system(str(data_path / "case118.m"))
+    pf = newton_raphson(system)
+    power_flow(pf, power=True)
+    assert pf.method.converged
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, variance=1e-14, noise=False)
+    add_wattmeter(mon, analysis=pf, variance=1e2, noise=False)
+    add_varmeter(mon, analysis=pf, variance=1e2, noise=False)
+
+    se = gauss_newton(mon, factorization="LU")
+    state_estimation(se)
+    assert se.method.converged
+    assert se.method.refine_residual < 1e-6  # gate satisfied, not tripped
+    np.testing.assert_allclose(se.voltage.magnitude, pf.voltage.magnitude,
+                               atol=1e-9)
+    np.testing.assert_allclose(se.voltage.angle, pf.voltage.angle,
+                               atol=1e-7)
+
+
+def test_normal_path_refinement_gate_escalates_to_qr(data_path):
+    """Escalation mechanism: a gain the f32 factorization genuinely cannot
+    refine (near-zero-impedance branches, cond ≈ 1e16) must trip the gate
+    and re-route the solve through the QR square-root path — the
+    reference's own remedy for ill-conditioned normal equations
+    (acStateEstimation.jl:878-931) — rather than silently returning
+    degraded increments. The doctored network is numerically degenerate
+    on purpose; the contract under test is the ESCALATION, not
+    convergence of the degenerate estimate."""
+    from juliagrid_tpu.estimation.acse import gauss_newton, state_estimation
+    from juliagrid_tpu.measurement.devices import (add_varmeter,
+                                                   add_voltmeter,
+                                                   add_wattmeter)
+    from juliagrid_tpu.measurement.load import measurement
+    from juliagrid_tpu.powerflow.ac import newton_raphson
+    from juliagrid_tpu.powerflow.driver import power_flow
+
+    system = jg.power_system(str(data_path / "case118.m"))
+    for k in (5, 50, 100):
+        jg.update_branch(system, system.branch.label.label(k),
+                         resistance=0.0, reactance=2e-6)
+    pf = newton_raphson(system)
+    power_flow(pf, power=True)
+    mon = measurement(system)
+    add_voltmeter(mon, analysis=pf, noise=False)
+    add_wattmeter(mon, analysis=pf, noise=False)
+    add_varmeter(mon, analysis=pf, noise=False)
+
+    se = gauss_newton(mon, factorization="LU")
+    state_estimation(se)
+    assert getattr(se.method, "refine_escalated", False), \
+        "gate should have escalated the unrefinable Normal path to QR"

@@ -149,3 +149,26 @@ def test_f32_fleet_screening(data_path):
     assert vm32.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(vm32), np.asarray(vm64),
                                atol=5e-4)
+
+
+def test_batched_dc_solve_matches_single(data_path):
+    """The product batched-DC API (factorize once, batch the triangular
+    solves) matches per-scenario single solves exactly."""
+    import jax.numpy as jnp
+
+    from juliagrid_tpu.parallel import batched_dc_solve_jit
+    from juliagrid_tpu.powerflow.dc import _dc_solve, dc_power_flow
+
+    system = jg.power_system(str(data_path / "case14test.m"))
+    pf = dc_power_flow(system)
+    nscen = 8
+    rng = np.random.default_rng(7)
+    scale = 1.0 + 0.05 * rng.standard_normal(nscen)
+    p_b = jnp.asarray(np.asarray(pf.arrays.p_sched)[None, :]
+                      * scale[:, None])
+    theta_b = batched_dc_solve_jit(pf.arrays, p_b)
+    assert theta_b.shape == (nscen, system.bus.number)
+    for k in range(nscen):
+        th1 = _dc_solve(pf.arrays._replace(p_sched=p_b[k]), "LU")
+        np.testing.assert_allclose(np.asarray(theta_b[k]), np.asarray(th1),
+                                   atol=1e-10)
