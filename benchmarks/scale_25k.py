@@ -59,7 +59,7 @@ def main():
     out["nr_setup_s"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
-    power_flow_bbd(pf, power=True)
+    power_flow_bbd(pf, iteration=40)
     out["nr_first_s"] = round(time.perf_counter() - t0, 1)
     out["nr_iterations"] = int(pf.method.iteration)
     out["nr_converged"] = bool(pf.method.converged)
@@ -71,7 +71,7 @@ def main():
     system.bus.voltage.angle.array[:n] = 0.0
     pf2 = newton_raphson_bbd(system, n_blocks=args.blocks)
     t0 = time.perf_counter()
-    power_flow_bbd(pf2, power=True)
+    power_flow_bbd(pf2, iteration=40)
     out["nr_warm_s"] = round(time.perf_counter() - t0, 2)
     assert pf2.method.converged
 
@@ -83,6 +83,8 @@ def main():
                                                        add_wattmeter)
         from juliagrid_tpu.measurement.load import measurement
 
+        from juliagrid_tpu.postprocessing.ac import power as ac_power
+        ac_power(pf2)
         mon = measurement(system)
         add_voltmeter(mon, analysis=pf2, noise=False)
         add_wattmeter(mon, analysis=pf2, noise=False)

@@ -59,6 +59,17 @@ class AcOptimalPowerFlow:
                 self._x0 = None
             if self._x0 is None:
                 set_initial_point(self)
+            else:
+                # warm restart after a model edit: the carried iterate is
+                # a previous OPTIMUM, sitting exactly on its active bounds
+                # — slacks at zero pin every fraction-to-boundary step of
+                # the re-solve. Push it strictly inside (Ipopt's
+                # warm_start_bound_push) and re-seat the epigraph helpers
+                # for the (possibly changed) cost curves.
+                self._x0 = np.array(self._x0)  # res.x views are read-only
+                self._spec.push_inside(self._x0)
+                if self._spec.n_hp or self._spec.n_hq:
+                    self._spec.init_helpers(self._x0)
             self.signature = {"key": key}
 
 
@@ -95,10 +106,10 @@ class AcParams(NamedTuple):
     fl_hi: object
     an_lo: object       # angle-difference limits
     an_hi: object
-    yff: object         # branch two-port admittances for flow expressions
-    yft: object
-    ytf: object
-    ytt: object
+    yff: object         # branch two-port admittances for flow expressions,
+    yft: object         # stored as (k, 2) [real, imag] f64 stacks — TPU has
+    ytf: object         # no complex128, and a complex128 device_put hangs
+    ytt: object         # the axon tunnel outright (round-4 finding)
     pwp_slope: object   # piecewise epigraph cut data
     pwp_icept: object
     pwq_slope: object
@@ -471,8 +482,10 @@ class _AcSpec:
             cc_aq=j(self.cc_aq), cc_ap=j(self.cc_ap), cc_b=j(self.cc_b),
             fl_lo=j(self.fl_lo), fl_hi=j(self.fl_hi),
             an_lo=j(self.an_lo), an_hi=j(self.an_hi),
-            yff=j(self.br_yff), yft=j(self.br_yft),
-            ytf=j(self.br_ytf), ytt=j(self.br_ytt),
+            yff=j(np.stack([self.br_yff.real, self.br_yff.imag], axis=-1)),
+            yft=j(np.stack([self.br_yft.real, self.br_yft.imag], axis=-1)),
+            ytf=j(np.stack([self.br_ytf.real, self.br_ytf.imag], axis=-1)),
+            ytt=j(np.stack([self.br_ytt.real, self.br_ytt.imag], axis=-1)),
             pwp_slope=j(self.pwp[2]), pwp_icept=j(self.pwp[3]),
             pwq_slope=j(self.pwq[2]), pwq_icept=j(self.pwq[3]),
             poly_co=tuple(j(co) for co in self.poly_co),
@@ -604,27 +617,39 @@ class _AcSpec:
         return jnp.concatenate(out)
 
     def _flow_values(self, theta, v, p):
-        """Vectorized flow-constraint values over all constrained rows."""
+        """Vectorized flow-constraint values over all constrained rows.
+
+        All-real arithmetic (admittances ride as [re, im] stacks): TPU has
+        no complex128 — see AcParams."""
         fb, tb = self.fl_fb, self.fl_tb
-        vf = v[fb] * jnp.exp(1j * theta[fb])
-        vt = v[tb] * jnp.exp(1j * theta[tb])
+        vfr = v[fb] * jnp.cos(theta[fb])
+        vfi = v[fb] * jnp.sin(theta[fb])
+        vtr = v[tb] * jnp.cos(theta[tb])
+        vti = v[tb] * jnp.sin(theta[tb])
         yff = p.yff[self.fl_k]
         yft = p.yft[self.fl_k]
         ytf = p.ytf[self.fl_k]
         ytt = p.ytt[self.fl_k]
         is_from = jnp.asarray(self.fl_from)
-        i_ = jnp.where(is_from, vf * yff + vt * yft, vf * ytf + vt * ytt)
-        s = jnp.where(is_from, vf, vt) * jnp.conj(i_)
-        p, q = jnp.real(s), jnp.imag(s)
-        s2 = p * p + q * q
-        i2 = jnp.real(i_) ** 2 + jnp.imag(i_) ** 2
+        gf = jnp.where(is_from, yff[:, 0], ytf[:, 0])
+        bf = jnp.where(is_from, yff[:, 1], ytf[:, 1])
+        gt = jnp.where(is_from, yft[:, 0], ytt[:, 0])
+        bt = jnp.where(is_from, yft[:, 1], ytt[:, 1])
+        ire = gf * vfr - bf * vfi + gt * vtr - bt * vti
+        iim = gf * vfi + bf * vfr + gt * vti + bt * vtr
+        vr = jnp.where(is_from, vfr, vtr)
+        vi = jnp.where(is_from, vfi, vti)
+        pp = vr * ire + vi * iim        # Re(v * conj(i))
+        qq = vi * ire - vr * iim        # Im(v * conj(i))
+        s2 = pp * pp + qq * qq
+        i2 = ire * ire + iim * iim
         cls = self.fl_cls
         # guard sqrt(0) rows (types 2/4): value is exact, gradient clamps
         sqrt_s = jnp.sqrt(jnp.maximum(s2, 1e-24))
         sqrt_i = jnp.sqrt(jnp.maximum(i2, 1e-24))
         val = jnp.select(
             [cls == 1, cls == 2, cls == 3, cls == 4],
-            [p, sqrt_s, s2, sqrt_i], i2)
+            [pp, sqrt_s, s2, sqrt_i], i2)
         return val
 
     def ineq(self, x, p):
@@ -871,16 +896,24 @@ class _AcSpec:
 def _flow_row_val(z, yff_e, yft_e, ytf_e, ytt_e, from_e, cls_e):
     """One flow-constraint value from its four state variables
     z = (θf, θt, Vf, Vt); vmapped with grad/hessian for the analytic
-    Jacobian/Hessian rows (must mirror _flow_values exactly)."""
+    Jacobian/Hessian rows (must mirror _flow_values exactly). The
+    admittances arrive as [re, im] 2-vectors — all-real arithmetic, TPU
+    has no complex128 (see AcParams)."""
     thf, tht, vf_, vt_ = z[0], z[1], z[2], z[3]
-    vfc = vf_ * jnp.exp(1j * thf)
-    vtc = vt_ * jnp.exp(1j * tht)
-    i_ = jnp.where(from_e, vfc * yff_e + vtc * yft_e,
-                   vfc * ytf_e + vtc * ytt_e)
-    s = jnp.where(from_e, vfc, vtc) * jnp.conj(i_)
-    pp, qq = jnp.real(s), jnp.imag(s)
+    vfr, vfi = vf_ * jnp.cos(thf), vf_ * jnp.sin(thf)
+    vtr, vti = vt_ * jnp.cos(tht), vt_ * jnp.sin(tht)
+    gf = jnp.where(from_e, yff_e[0], ytf_e[0])
+    bf = jnp.where(from_e, yff_e[1], ytf_e[1])
+    gt = jnp.where(from_e, yft_e[0], ytt_e[0])
+    bt = jnp.where(from_e, yft_e[1], ytt_e[1])
+    ire = gf * vfr - bf * vfi + gt * vtr - bt * vti
+    iim = gf * vfi + bf * vfr + gt * vti + bt * vtr
+    vr = jnp.where(from_e, vfr, vtr)
+    vi = jnp.where(from_e, vfi, vti)
+    pp = vr * ire + vi * iim
+    qq = vi * ire - vr * iim
     s2 = pp * pp + qq * qq
-    i2 = jnp.real(i_) ** 2 + jnp.imag(i_) ** 2
+    i2 = ire * ire + iim * iim
     sqrt_s = jnp.sqrt(jnp.maximum(s2, 1e-24))
     sqrt_i = jnp.sqrt(jnp.maximum(i2, 1e-24))
     return jnp.select(
@@ -930,6 +963,7 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
                          jac_eq=spec.jac_eq,
                          jac_ineq=spec.jac_ineq if has_ineq else None,
                          hess=spec.hess,
+                         push_inside=spec.push_inside,
                          params=spec.params)
     # dual carry is valid only against the same constraint layout: length
     # equality is not enough (two structural edits can keep counts equal

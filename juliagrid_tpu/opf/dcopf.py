@@ -356,7 +356,8 @@ def solve(analysis: DcOptimalPowerFlow, max_iter: int = 200,
     problem = NlpProblem(
         objective=spec.objective,
         eq=spec.eq,
-        ineq=spec.ineq if has_ineq else None)
+        ineq=spec.ineq if has_ineq else None,
+        push_inside=spec.push_inside)
     # dual carry across live edits, guarded by the constraint layout
     # (reference setdual/transferdual!, optimalPowerFlow/utility.jl)
     layout = (spec.n, tuple(spec.ineq_tags),

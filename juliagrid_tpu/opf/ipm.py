@@ -87,6 +87,15 @@ class NlpProblem:
     # what RESOURCE_EXHAUSTED'd the 16 GB chip in the round-3 bench.
     jac_eq: Optional[Callable] = None
     jac_ineq: Optional[Callable] = None
+    # optional re-boxing hook: np.ndarray -> np.ndarray (may mutate in
+    # place and return its argument). Called on the iterate after the
+    # start-with-restoration phase, which minimizes the violation of ALL
+    # constraints jointly and routinely leaves simple-bound rows a hair
+    # outside their boxes — slacks then start at the positivity floor and
+    # fraction-to-boundary caps every step (the 118-bus linear-cost DC
+    # OPF death spiral, round-4 anchor-test finding). The problem knows
+    # its own bound structure; the solver does not.
+    push_inside: Optional[Callable] = None
     # analytic Lagrangian Hessian (x, y, z) -> (n_x, n_x) of the RAW
     # problem:  ∇²f - Σ y_i ∇²c_E,i - Σ z_j ∇²c_I,j.  The solver maps its
     # internal scaled duals into raw space before calling and rescales the
@@ -230,6 +239,38 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         return err
 
     @jax.jit
+    def kkt_components(x, y, z, s, mu, p):
+        """Diagnostic split of E_mu: (scaled dual residual, worst
+        stationarity row, primal violation, scaled complementarity, worst
+        complementarity row) — which term pins the error decides the
+        remedy (dual recovery vs central-path repair)."""
+        r_d = grad_f(x, p)
+        dual_l1 = 0.0
+        if m_e:
+            r_d = r_d - _vjp(c_e, x, p, y)
+            dual_l1 = dual_l1 + jnp.sum(jnp.abs(y))
+        if m_i:
+            r_d = r_d - _vjp(c_i, x, p, z)
+            dual_l1 = dual_l1 + jnp.sum(jnp.abs(z))
+        s_max = 100.0
+        m_tot = max(m_e + m_i, 1)
+        s_d = jnp.maximum(s_max, dual_l1 / m_tot) / s_max
+        prim = jnp.asarray(0.0)
+        if m_e:
+            prim = jnp.maximum(prim, jnp.max(jnp.abs(c_e(x, p))))
+        comp = jnp.asarray(0.0)
+        comp_row = jnp.asarray(0)
+        if m_i:
+            prim = jnp.maximum(prim, jnp.max(jnp.abs(c_i(x, p) - s)))
+            s_c = jnp.maximum(
+                s_max, jnp.sum(jnp.abs(z)) / max(m_i, 1)) / s_max
+            cv = jnp.abs(s * z - mu) / s_c
+            comp = jnp.max(cv)
+            comp_row = jnp.argmax(cv)
+        return (jnp.max(jnp.abs(r_d)) / s_d, jnp.argmax(jnp.abs(r_d)),
+                prim, comp, comp_row)
+
+    @jax.jit
     def step(x, y, z, s, mu, delta, ce, ri, p):
         """Newton step on the condensed barrier KKT system.
 
@@ -325,7 +366,7 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         return dx, 0.5 * (r @ r)
 
     return step, kkt_error, metrics, resto_step, \
-        (c_e, c_i, grad_f, jac_e, jac_i)
+        (c_e, c_i, grad_f, jac_e, jac_i, kkt_components)
 
 
 def _filter_accepts(filt, theta, phi):
@@ -374,8 +415,12 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             if problem.jac_ineq else None
         hess_raw = (lambda xx, yy, zz, pp: problem.hess(xx, yy, zz)) \
             if problem.hess else None
-    m_e = int(np.asarray(eq_raw(x, p)).shape[0]) if eq_raw else 0
-    m_i = int(np.asarray(ineq_raw(x, p)).shape[0]) if ineq_raw else 0
+    # row counts via eval_shape: NO device execution — an eager eq/ineq
+    # evaluation here runs hundreds of op-by-op dispatches plus a
+    # readback through the TPU tunnel (minutes at pegase scale) just to
+    # learn a static shape
+    m_e = int(jax.eval_shape(eq_raw, x, p).shape[0]) if eq_raw else 0
+    m_i = int(jax.eval_shape(ineq_raw, x, p).shape[0]) if ineq_raw else 0
 
     # Ipopt-style gradient-based scaling (their nlp_scaling_method =
     # "gradient-based"): keep max|∇f| near 100 so currency-unit cost
@@ -383,8 +428,8 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # constraint row the same way — epigraph cuts and balance rows with
     # cost-unit coefficients otherwise leave the dual residual O(1e4) and
     # the barrier parameter permanently gated.
-    g0 = np.asarray(jax.grad(f_raw)(x, p))
-    gmax = float(np.max(np.abs(g0))) if g0.size else 1.0
+    gmax = float(jax.jit(lambda xx, pp: jnp.max(jnp.abs(
+        jax.grad(f_raw)(xx, pp))))(x, p)) if n_x else 1.0
     scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
 
     def _jac_row_max(fn_raw, jac_raw):
@@ -440,22 +485,37 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if hess_raw is not None else None
 
     step, kkt_error, metrics, resto_step, \
-        (c_e, c_i, grad_f, jac_e, jac_i) = _make_fns(
+        (c_e, c_i, grad_f, jac_e, jac_i, kkt_components) = _make_fns(
         f, c_e_fn, c_i_fn, n_x, m_e, m_i,
         jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn)
+    # jitted wrappers for every host-loop evaluation: an eager constraint
+    # or Jacobian evaluation is hundreds of op-by-op dispatches through
+    # the TPU tunnel (~20 ms each) — minutes per call at pegase scale
+    f_j = jax.jit(f)
+    c_e_j = jax.jit(c_e)
+    c_i_j = jax.jit(c_i)
+    grad_f_j = jax.jit(grad_f)
+    jac_e_j = jax.jit(jac_e)
+    jac_i_j = jax.jit(jac_i)
+    grad_f_jvp_j = jax.jit(lambda xx, dd, pp: jax.jvp(
+        lambda xv: grad_f(xv, pp), (xx,), (dd,))[1])
 
     # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
     # start (MATPOWER setpoints can violate balance by tens of p.u.) pins
     # the barrier iteration — slacks at the boundary cap every step via
     # fraction-to-boundary while duals blow up. A cheap Levenberg-Marquardt
     # pass on the violation first makes the barrier loop start near-feasible.
-    def _theta_of(xx):
-        t = 0.0
+    @jax.jit
+    def _theta_of_dev(xx, pp):
+        t = jnp.asarray(0.0)
         if m_e:
-            t += float(jnp.sum(jnp.abs(c_e(xx, pk))))
+            t += jnp.sum(jnp.abs(c_e(xx, pp)))
         if m_i:
-            t += float(jnp.sum(jnp.abs(jnp.minimum(c_i(xx, pk), 0.0))))
+            t += jnp.sum(jnp.abs(jnp.minimum(c_i(xx, pp), 0.0)))
         return t
+
+    def _theta_of(xx):
+        return float(_theta_of_dev(xx, pk))
 
     theta_start = _theta_of(x)
     if (m_e or m_i) and theta_start > 1.0:
@@ -480,9 +540,25 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if verbose >= 1:
             print(f"  ipm start-with-resto: theta {theta_start:.3e} "
                   f"-> {th:.3e}")
+        if problem.push_inside is not None:
+            # re-box: restoration trades a hair of bound violation for
+            # balance feasibility; push the iterate strictly back inside
+            # its simple bounds so the slacks start at healthy magnitudes
+            x_np = np.array(x)
+            out = problem.push_inside(x_np)
+            x = jnp.asarray(out if out is not None else x_np)
 
     if m_i:
-        ci0 = jnp.asarray(c_i(x, pk))
+        ci0 = c_i_j(x, pk)
+        # floor the initial slacks at 0.01 (Ipopt's slack push): the
+        # |c_I - s| = 0.01 this manufactures on near-active rows is
+        # LINEAR residual the very first full Newton step can correct,
+        # and healthy slack magnitudes keep fraction-to-boundary steps
+        # usable. (Round-4 note: a near-zero floor was tried for the
+        # 118-bus linear-cost DC OPF and it traded this for pinned
+        # 1e-6-scale slacks, which is strictly worse; the actual fix for
+        # that case was judging the boundary pinch CUMULATIVELY — see
+        # pinch detection below.)
         s = jnp.maximum(ci0, 1e-2)
         z = jnp.clip(mu0 / s, 1e-8, 1e6)
     else:
@@ -524,6 +600,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     filt = [(theta_max, -np.inf)]
     delta_last = 0.0
     pinched = 0
+    pinch_theta0 = np.inf
     t_start = None  # armed after the first (compile-bearing) iteration
 
     def _dual_recovery(x_r, s_in, err_now):
@@ -558,23 +635,23 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         try:
             x_np = np.asarray(x_r, dtype=np.float64)
             if m_i:
-                ci0 = np.asarray(c_i(x_r, pk))
+                ci0 = np.asarray(c_i_j(x_r, pk))
                 scale_ci = max(1.0, float(np.max(np.abs(ci0))))
                 act = ci0 <= thr * scale_ci
             else:
                 act = np.zeros(0, dtype=bool)
-            f_old = float(f(jnp.asarray(x_np), pk))
+            f_old = float(f_j(jnp.asarray(x_np), pk))
 
             def polish(x_np, act):
                 for _ in range(3):
                     xj = jnp.asarray(x_np)
                     parts_r, parts_j = [], []
                     if m_e:
-                        parts_r.append(np.asarray(c_e(xj, pk)))
-                        parts_j.append(np.asarray(jac_e(xj, pk)))
+                        parts_r.append(np.asarray(c_e_j(xj, pk)))
+                        parts_j.append(np.asarray(jac_e_j(xj, pk)))
                     if m_i and act.any():
-                        parts_r.append(np.asarray(c_i(xj, pk))[act])
-                        parts_j.append(np.asarray(jac_i(xj, pk))[act])
+                        parts_r.append(np.asarray(c_i_j(xj, pk))[act])
+                        parts_j.append(np.asarray(jac_i_j(xj, pk))[act])
                     if not parts_r:
                         return x_np
                     r_all = np.concatenate(parts_r)
@@ -591,12 +668,12 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             best_loc = None
             for cross in range(8):
                 xj = jnp.asarray(x_np)
-                g_np = np.asarray(grad_f(xj, pk))
-                je_np = np.asarray(jac_e(xj, pk)) if m_e \
+                g_np = np.asarray(grad_f_j(xj, pk))
+                je_np = np.asarray(jac_e_j(xj, pk)) if m_e \
                     else np.zeros((0, n_x))
                 if m_i:
-                    ci_np = np.asarray(c_i(xj, pk))
-                    ji_np = np.asarray(jac_i(xj, pk))
+                    ci_np = np.asarray(c_i_j(xj, pk))
+                    ji_np = np.asarray(jac_i_j(xj, pk))
                     if bool(np.any(ci_np < -1e-9)):
                         if verbose >= 3:
                             print(f"        crossover: infeasible "
@@ -605,10 +682,10 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 else:
                     ci_np = np.zeros(0)
                     ji_np = np.zeros((0, n_x))
-                if float(f(xj, pk)) > f_old + 1e-6 * max(1.0, abs(f_old)):
+                if float(f_j(xj, pk)) > f_old + 1e-6 * max(1.0, abs(f_old)):
                     if verbose >= 3:
                         print(f"        crossover: f worsened "
-                              f"{float(f(xj, pk)) - f_old:.2e}")
+                              f"{float(f_j(xj, pk)) - f_old:.2e}")
                     break  # objective worsened; not a polish any more
                 # NNLS multipliers on the current active set
                 act_try = act.copy()
@@ -667,8 +744,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 # from the projection subtraction, and dividing by the
                 # tiny |d| amplifies it orders above the true slope.)
                 f_slope = -d_norm
-                hvp = np.asarray(jax.jvp(
-                    lambda xx: grad_f(xx, pk), (xj,), (jnp.asarray(d),))[1])
+                hvp = np.asarray(grad_f_jvp_j(xj, jnp.asarray(d), pk))
                 curv = float(d @ hvp)
                 t_star = -f_slope / curv if curv > 1e-12 else np.inf
                 inact = np.flatnonzero(~act)
@@ -791,6 +867,11 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if verbose >= 2:
             print(f"  ipm iter {it}: kkt={err:.3e} mu={mu:.3e} "
                   f"theta={theta_k:.3e} phi={phi_k:.6e}")
+            if verbose >= 3 or it % 10 == 0:
+                du, drow, pr, co, crow = kkt_components(x, y, z, s, 0.0, pk)
+                print(f"      kkt split: dual={float(du):.3e}"
+                      f"@x[{int(drow)}] prim={float(pr):.3e} "
+                      f"comp={float(co):.3e}@row[{int(crow)}]")
 
         # --- search direction with inertia-free delta escalation ---------
         delta = 0.0 if delta_last == 0.0 else max(1e-20, delta_last / 3.0)
@@ -877,13 +958,21 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 break
 
         # pinch detection: steps capped hard by the boundary while the
-        # violation stalls mean the Newton direction cannot mend the
-        # infeasibility (a violated row's slack squeezed to ~0 caps every
-        # fraction-to-boundary step) — restoration mends it directly
+        # violation stalls CUMULATIVELY mean the Newton direction cannot
+        # mend the infeasibility (a violated row's slack squeezed to ~0
+        # caps every fraction-to-boundary step) — restoration mends it
+        # directly. Judged over a 10-iteration window against the theta
+        # where the pinch began: a slow crawl that compounds (the 118-bus
+        # linear-cost DC OPF opens at alpha ~5e-3 for a few iterations,
+        # then accelerates and converges in 35) must NOT be aborted —
+        # round-3's 4-iteration per-step test fired on exactly that and
+        # sent a healthy solve into a restoration dead end.
         if accepted and theta_k > max(10.0 * tol, 1e-8) and \
                 alpha_max < 5e-2 and theta_t > 0.9 * theta_k:
+            if pinched == 0:
+                pinch_theta0 = theta_k
             pinched += 1
-            if pinched >= 4:
+            if pinched >= 10 and theta_t > 0.98 * pinch_theta0:
                 accepted = False
                 pinched = 0
         else:
@@ -905,7 +994,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                     lam *= 10.0
                     continue
                 x_try = x_r + dxr
-                s_try = jnp.maximum(jnp.asarray(c_i(x_try, pk)), mu) \
+                s_try = jnp.maximum(c_i_j(x_try, pk), mu) \
                     if m_i else s
                 _, theta_try, phi_try, _, _ = metrics(x_try, s_try, mu, pk)
                 theta_try = float(theta_try)
@@ -932,7 +1021,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                          phi_k - GAMMA_PHI * theta_k))
             x = x_r
             if m_i:
-                ci_r = jnp.asarray(c_i(x, pk))
+                ci_r = c_i_j(x, pk)
                 s = jnp.maximum(ci_r, mu)
                 z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
                 z = jnp.maximum(z, 1e-14)
