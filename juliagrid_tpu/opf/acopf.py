@@ -951,20 +951,42 @@ def ac_optimal_power_flow(system: PowerSystem) -> AcOptimalPowerFlow:
     return analysis
 
 
+# buses past which the dense (n_x+m_E)² KKT build is replaced by the
+# structured BBD assembly/solve automatically (the dense path holds to
+# ~3k buses; beyond, it is structurally out of memory)
+_KKT_BBD_AUTO = 4000
+
+
 def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
           tolerance: float = 1e-8, verbose: int = 0,
-          max_seconds=None) -> AcOptimalPowerFlow:
+          max_seconds=None, kkt_blocks=None) -> AcOptimalPowerFlow:
+    """``kkt_blocks``: number of BBD interior blocks for the structured
+    KKT solver (opf/kkt_bbd.py). ``None`` = auto (dense below
+    ``_KKT_BBD_AUTO`` buses, BBD above); ``0`` forces dense."""
     analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
     has_ineq = spec.ineq(jnp_.asarray(analysis._x0), spec.params) is not None
+    if kkt_blocks is None:
+        kkt_blocks = max(8, spec.n // 512) if spec.n >= _KKT_BBD_AUTO else 0
+    kkt_obj = None
+    if kkt_blocks:
+        cache = getattr(analysis, "_kkt_cache", None)
+        key = (analysis.signature["key"], kkt_blocks)
+        if cache is not None and cache[0] == key:
+            kkt_obj = cache[1]
+        else:
+            from .kkt_bbd import AcKktBbd
+            kkt_obj = AcKktBbd(spec, kkt_blocks)
+            analysis._kkt_cache = (key, kkt_obj)
     problem = NlpProblem(objective=spec.objective, eq=spec.eq,
                          ineq=spec.ineq if has_ineq else None,
                          jac_eq=spec.jac_eq,
                          jac_ineq=spec.jac_ineq if has_ineq else None,
                          hess=spec.hess,
                          push_inside=spec.push_inside,
-                         params=spec.params)
+                         params=spec.params,
+                         kkt=kkt_obj)
     # dual carry is valid only against the same constraint layout: length
     # equality is not enough (two structural edits can keep counts equal
     # while permuting row meaning), so stamp the structure and compare

@@ -104,6 +104,15 @@ class NlpProblem:
     # the dominant per-iteration cost; for AC OPF it is the classic polar
     # power-flow Hessian.
     hess: Optional[Callable] = None
+    # optional structured KKT solver (opf/kkt_bbd.AcKktBbd protocol):
+    #   solve(x, y, z, sigma, delta, rhs_x, rhs_e, pk)
+    #     -> (dx, v, lin_res, curv)  [v = -dy, same sign convention as
+    #        the dense augmented solve]
+    #   row_maxes(x, p) -> (rme, rmi) raw per-row Jacobian maxima
+    # When set, the Newton step never materializes the dense
+    # (n_x+m_E)² KKT matrix — the solver assembles and factorizes it in
+    # bordered-block-diagonal form (the scale path past ~3k buses).
+    kkt: Optional[object] = None
 
 
 @dataclass
@@ -154,7 +163,7 @@ def _chunked_jacfwd(fn, n_x: int, block: int = _CHUNK_BLOCK):
 
 
 def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
-              jac_e_fn=None, jac_i_fn=None, hess_fn=None):
+              jac_e_fn=None, jac_i_fn=None, hess_fn=None, kkt_obj=None):
     """All of ``f``/``c_e``/``c_i`` take ``(x, p)`` with ``p`` a runtime
     params pytree (possibly an empty tuple). ``jac_e_fn``/``jac_i_fn``/
     ``hess_fn`` are optional analytic derivatives (same convention) that
@@ -343,6 +352,47 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
 
         return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
 
+    if kkt_obj is not None:
+        # structured override: same signature/semantics as the dense step
+        # above, but the augmented system is assembled and factorized in
+        # BBD form by kkt_obj and all matrix-vector products are
+        # vjp/jvp — nothing (m, n_x)-dense is ever materialized. The
+        # dense `step` is never traced when this branch is active.
+        @jax.jit
+        def step(x, y, z, s, mu, delta, ce, ri, p):  # noqa: F811
+            g = grad_f(x, p)
+            r_d = g
+            if m_e:
+                r_d = r_d - _vjp(c_e, x, p, y)
+            if m_i:
+                sigma = jnp.clip(z / s, 1e-12, 1e12)
+                r_d = r_d - _vjp(c_i, x, p, z)
+                r_d = r_d + _vjp(c_i, x, p, sigma * ri + z - mu / s)
+            else:
+                sigma = jnp.zeros(0)
+            rhs_e = -ce if m_e else jnp.zeros(0)
+            dx, v, lin_res, curv = kkt_obj.solve(
+                x, y, z, sigma, delta, -r_d, rhs_e, p)
+            dy = -v if m_e else jnp.zeros(0)
+            if m_i:
+                ds = jax.jvp(lambda xx: c_i(xx, p), (x,), (dx,))[1] + ri
+                dz = (mu - s * z - z * ds) / s
+                tau = jnp.maximum(0.99, 1.0 - mu)
+                alpha_s = jnp.clip(
+                    jnp.min(jnp.where(ds < 0, -tau * s / ds, 1.0)),
+                    0.0, 1.0)
+                alpha_z = jnp.clip(
+                    jnp.min(jnp.where(dz < 0, -tau * z / dz, 1.0)),
+                    0.0, 1.0)
+                dphi = g @ dx - mu * jnp.sum(ds / s)
+            else:
+                ds = jnp.zeros(0)
+                dz = jnp.zeros(0)
+                alpha_s = jnp.asarray(1.0)
+                alpha_z = jnp.asarray(1.0)
+                dphi = g @ dx
+            return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
+
     @jax.jit
     def resto_step(x, lam, p):
         """Levenberg-Marquardt step for min ½‖c_E‖² + ½‖min(c_I,0)‖²."""
@@ -450,12 +500,27 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         return np.asarray(rm)
 
     g_e = g_i = None
-    if m_e:
-        row = _jac_row_max(eq_raw, je_raw)
-        g_e = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
-    if m_i:
-        row = _jac_row_max(ineq_raw, ji_raw)
-        g_i = jnp.asarray(np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+    if problem.kkt is not None and (m_e or m_i):
+        # structured path: per-row maxima from the same closed forms the
+        # BBD assembly uses — no dense (m, n_x) Jacobian at 10k+ scale
+        rme_d, rmi_d = jax.jit(problem.kkt.row_maxes)(x, p)
+        if m_e:
+            row = np.asarray(rme_d)
+            g_e = jnp.asarray(
+                np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+        if m_i:
+            row = np.asarray(rmi_d)
+            g_i = jnp.asarray(
+                np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+    else:
+        if m_e:
+            row = _jac_row_max(eq_raw, je_raw)
+            g_e = jnp.asarray(
+                np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
+        if m_i:
+            row = _jac_row_max(ineq_raw, ji_raw)
+            g_i = jnp.asarray(
+                np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
 
     # the scale factors ride the params pytree (not the trace) so an
     # edited model re-solves against the same compiled step functions
@@ -487,7 +552,15 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     step, kkt_error, metrics, resto_step, \
         (c_e, c_i, grad_f, jac_e, jac_i, kkt_components) = _make_fns(
         f, c_e_fn, c_i_fn, n_x, m_e, m_i,
-        jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn)
+        jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn,
+        kkt_obj=problem.kkt)
+    # the restoration LM and the dual-recovery polish both materialize
+    # dense (m, n_x)/(n_x, n_x) intermediates — fine to pegase scale,
+    # structurally OOM at 10k+. The structured-KKT path survives without
+    # them (returns the best iterate instead); these caps gate the dense
+    # fallbacks, they do not change behavior below them.
+    resto_ok = n_x <= 8192
+    recovery_ok = n_x <= 4096
     # jitted wrappers for every host-loop evaluation: an eager constraint
     # or Jacobian evaluation is hundreds of op-by-op dispatches through
     # the TPU tunnel (~20 ms each) — minutes per call at pegase scale
@@ -518,7 +591,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         return float(_theta_of_dev(xx, pk))
 
     theta_start = _theta_of(x)
-    if (m_e or m_i) and theta_start > 1.0:
+    if (m_e or m_i) and theta_start > 1.0 and resto_ok:
         lam = 1e-6
         th = theta_start
         for _ in range(60):
@@ -840,7 +913,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                     break
                 # primal stagnant but duals thrashing (degenerate vertex):
                 # recover multipliers directly instead of iterating on
-                rec = _dual_recovery(x, s, err)
+                rec = _dual_recovery(x, s, err) if recovery_ok else None
                 if rec is not None and rec[0] < acceptable_tol:
                     err, x, y, z, s = rec
                     best = (err, x, y, z, s)
@@ -982,6 +1055,8 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             # --- feasibility restoration (LM on the violation) ----------
             if theta_k <= max(10.0 * tol, 1e-8) and best is not None:
                 break  # feasible yet unsteppable: return best
+            if not resto_ok:
+                break  # dense LM gated at scale: return best iterate
             if verbose >= 2:
                 print(f"      -> restoration from theta={theta_k:.3e}")
             lam = 1e-6
@@ -1050,7 +1125,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     if best is not None and best[0] < err:
         err, x, y, z, s = best
         converged = converged or err < tol
-    if err >= tol and (m_e or m_i):
+    if err >= tol and (m_e or m_i) and recovery_ok:
         theta_x = float(metrics(x, s, 0.0, pk)[1])
         if theta_x <= max(100.0 * tol, 1e-9 * max(1.0, theta0)):
             rec = _dual_recovery(x, s, err)
