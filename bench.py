@@ -600,6 +600,14 @@ CHILD_MIN_S = {
     "config5b_se_pegase": 240, "config5a_opf_pegase": 600,
 }
 
+# Inline (fast-mode) minimums: no per-config process + TPU-client init,
+# so the floor is just the config's own device work.
+INLINE_MIN_S = {
+    "config1_nr14_flat": 50, "config2_dc_fdpf_118": 40,
+    "config3_wls_se_118": 50, "config4_lav_baddata_118": 80,
+    "config5b_se_pegase": 150,
+}
+
 
 def _run_child(name):
     """Child process: run ONE config and write its detail dict as JSON to
@@ -656,26 +664,97 @@ def _emit(detail, partial):
     print(json.dumps(out), flush=True)
 
 
+def _select(order):
+    only = os.environ.get("BENCH_ONLY")  # e.g. "1,2,3" for a subset
+    return [n for n in order
+            if not only or n.split("_")[0].removeprefix("config")
+            in only.split(",")], only
+
+
+def main_fast():
+    """Fast mode (default): ALL configs inline in ONE process. The
+    per-child process + TPU-client/tunnel init is 30-60 s — five isolated
+    children cannot fit the driver's wall clock even fully warm (the
+    round-4 post-mortem of the round-3 rc=124). A config failure (even an
+    OOM that poisons later allocations) is survivable because a complete
+    JSON line is flushed after EVERY config, and a WATCHDOG thread
+    force-flushes the latest detail and exits 0 at the deadline — a hung
+    device call (tunnel stalls have been observed to block a client
+    indefinitely) can cost the remaining configs but never the output."""
+    import sys
+    import threading
+
+    deadline = time.perf_counter() + BUDGET_S
+    detail = {}
+    state = {"partial": True}
+
+    def _flush(partial):
+        _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
+              partial=partial)
+
+    def _watchdog():
+        threading.main_thread().join(deadline + 20.0 - time.perf_counter())
+        if threading.main_thread().is_alive():
+            print(f"[bench] watchdog fired at budget +20s; "
+                  f"flushing {len(detail)} entries",
+                  file=sys.stderr, flush=True)
+            detail.setdefault("watchdog", "fired: a config hung past "
+                                          "the overall budget")
+            _flush(partial=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+    device = jax.devices()[0]
+    on_tpu = device.platform not in ("cpu",)
+    detail["device"] = str(device)
+    names, only = _select([n for n in ORDER if n != "config5a_opf_pegase"])
+    if not names:
+        _emit({"budget_s": BUDGET_S, "full": FULL, "error": "no configs "
+               f"selected (BENCH_ONLY={only!r})"}, partial=False)
+        return
+    _flush(partial=True)  # a parseable line exists from the first moment
+    fns = dict(CONFIGS)
+    for i, name in enumerate(names):
+        t0 = time.perf_counter()
+        last = i + 1 == len(names)
+        if deadline - t0 < INLINE_MIN_S[name]:
+            detail[name] = {"skipped": f"insufficient budget "
+                                       f"({deadline - t0:.0f}s remaining)"}
+            _flush(partial=not last)
+            continue
+        print(f"[bench] {name} start t+{t0 - deadline + BUDGET_S:.0f}s",
+              file=sys.stderr, flush=True)
+        try:
+            out = fns[name](on_tpu)
+        except Exception as exc:
+            out = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        out["config_wall_s"] = round(time.perf_counter() - t0, 1)
+        detail[name] = out
+        _flush(partial=not last)
+
+
 def main():
     import subprocess
     import sys
     import tempfile
 
-    # every config runs in its own subprocess: one failure (even an OOM
-    # that wedges the TPU client) must never cost the others their
-    # numbers. The chip is single-tenant, so children run serially.
+    # full mode: every config runs in its own subprocess — one failure
+    # (even an OOM that wedges the TPU client) must never cost the others
+    # their numbers. The chip is single-tenant, so children run serially.
     deadline = time.perf_counter() + BUDGET_S
     detail = {}
-    only = os.environ.get("BENCH_ONLY")  # e.g. "1,2,3" for a subset
-    names = [n for n in ORDER
-             if not only or n.split("_")[0].removeprefix("config")
-             in only.split(",")]
+    names, only = _select(ORDER)
     for i, name in enumerate(names):
         t0 = time.perf_counter()
         remaining = deadline - t0
+        last = i + 1 == len(names)
         if remaining < CHILD_MIN_S[name]:
             detail[name] = {"skipped": f"insufficient budget "
                                        f"({remaining:.0f}s remaining)"}
+            _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
+                  partial=not last)
             continue
         budget = min(CHILD_TIMEOUTS.get(name, CHILD_TIMEOUT_S),
                      remaining - 5.0)
@@ -702,7 +781,7 @@ def main():
         if device:
             detail["device"] = device
         _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
-              partial=(i + 1 < len(names)))
+              partial=not last)
     if not names:
         _emit({"budget_s": BUDGET_S, "full": FULL, "error": "no configs "
                f"selected (BENCH_ONLY={only!r})"}, partial=False)
@@ -711,5 +790,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_CHILD"):
         _run_child(os.environ["BENCH_CHILD"])
-    else:
+    elif FULL:
         main()
+    else:
+        main_fast()

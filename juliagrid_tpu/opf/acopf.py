@@ -967,12 +967,25 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
     spec = analysis._spec
     import jax.numpy as jnp_
     has_ineq = spec.ineq(jnp_.asarray(analysis._x0), spec.params) is not None
+    # dual carry and the structured-KKT cache are both valid only against
+    # the same constraint layout: length equality is not enough (two
+    # structural edits can keep counts equal while permuting row meaning),
+    # so stamp the structure and compare
+    layout = (spec.n, tuple(spec.ineq_tags),
+              tuple(i for i, _ in spec.fix_v),
+              tuple(i for i, _ in spec.fix_p),
+              tuple(i for i, _ in spec.fix_q))
     if kkt_blocks is None:
         kkt_blocks = max(8, spec.n // 512) if spec.n >= _KKT_BBD_AUTO else 0
     kkt_obj = None
     if kkt_blocks:
         cache = getattr(analysis, "_kkt_cache", None)
-        key = (analysis.signature["key"], kkt_blocks)
+        # keyed by spec identity + structural layout + block count: live
+        # NUMERIC edits patch the spec in place (same id, same layout) and
+        # reuse the routed structure — re-solving hits the XLA compile
+        # cache; structural edits change the layout (or rebuild the spec)
+        # and re-route
+        key = (id(spec), layout, kkt_blocks)
         if cache is not None and cache[0] == key:
             kkt_obj = cache[1]
         else:
@@ -987,13 +1000,6 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
                          push_inside=spec.push_inside,
                          params=spec.params,
                          kkt=kkt_obj)
-    # dual carry is valid only against the same constraint layout: length
-    # equality is not enough (two structural edits can keep counts equal
-    # while permuting row meaning), so stamp the structure and compare
-    layout = (spec.n, tuple(spec.ineq_tags),
-              tuple(i for i, _ in spec.fix_v),
-              tuple(i for i, _ in spec.fix_p),
-              tuple(i for i, _ in spec.fix_q))
     warm = None
     prev = getattr(analysis.method, "result", None)
     if getattr(analysis, "_carry_duals", False) and prev is not None \

@@ -14,12 +14,17 @@ from ..system.builders import add_branch, add_bus, add_generator
 from ..system.load import power_system
 
 
-def synthetic_grid(rows: int, cols: int, seed: int = 7):
-    """Build a rows x cols lattice network; returns a PowerSystem."""
+def synthetic_grid(rows: int, cols: int, seed: int = 7, opf: bool = False):
+    """Build a rows x cols lattice network; returns a PowerSystem.
+
+    ``opf=True`` additionally attaches voltage bounds (0.9-1.1 pu) and
+    deterministic quadratic generator costs so the case is a well-posed
+    AC/DC OPF (the shape of the ACTIVSg synthetic fleet's cost data)."""
     rng = np.random.default_rng(seed)
     system = power_system()
     n = rows * cols
 
+    vbound = {"min_magnitude": 0.9, "max_magnitude": 1.1} if opf else {}
     gen_every = 5
     for i in range(n):
         is_gen = i % gen_every == 0
@@ -29,7 +34,7 @@ def synthetic_grid(rows: int, cols: int, seed: int = 7):
                 active=0.0 if is_gen else float(rng.uniform(0.05, 0.3)),
                 reactive=0.0 if is_gen else float(rng.uniform(0.01, 0.1)),
                 magnitude=1.0,
-                angle=0.0)
+                angle=0.0, **vbound)
 
     def bus_id(r, c):
         return r * cols + c + 1
@@ -73,4 +78,10 @@ def synthetic_grid(rows: int, cols: int, seed: int = 7):
                       magnitude=1.02,
                       min_reactive=-3.0, max_reactive=3.0,
                       min_active=0.0, max_active=3.0 * per_gen)
+    if opf:
+        from ..system.builders import cost
+        for j, i in enumerate(range(0, n, gen_every)):
+            a = float(rng.uniform(0.02, 0.10))
+            b = float(rng.uniform(15.0, 40.0))
+            cost(system, j + 1, active=2, polynomial=[a, b, 0.0])
     return system

@@ -127,3 +127,37 @@ def test_ac_opf_bbd_end_to_end(data_path, case, blocks):
         < 1e-5 * max(1.0, abs(dense.method.objective))
     assert np.max(np.abs(bbd.voltage.magnitude
                          - dense.voltage.magnitude)) < 1e-4
+
+
+def test_synthetic_opf_bbd_path():
+    """The shape of the >=10k capability proof (benchmarks/opf_scale.py),
+    pinned small on the CPU mesh: synthetic lattice with costs + voltage
+    bounds, solved through the BBD KKT, equal to the dense optimum, and a
+    live cost edit re-solving against the CACHED routed structure."""
+    from juliagrid_tpu.opf.edit import update_cost
+    from juliagrid_tpu.utils.synthetic import synthetic_grid
+
+    dense = ac_solve(ac_optimal_power_flow(synthetic_grid(6, 6, opf=True)),
+                     kkt_blocks=0)
+    assert dense.method.converged
+
+    bbd_an = ac_optimal_power_flow(synthetic_grid(6, 6, opf=True))
+    ac_solve(bbd_an, kkt_blocks=4)
+    assert bbd_an.method.result.status in ("optimal", "acceptable")
+    assert abs(bbd_an.method.objective - dense.method.objective) \
+        < 1e-5 * max(1.0, abs(dense.method.objective))
+
+    # live numeric cost edit: the routed KKT structure must be reused
+    kkt_before = bbd_an._kkt_cache[1]
+    update_cost(bbd_an, 1, active=2, polynomial=[0.05, 25.0, 0.0])
+    ac_solve(bbd_an, kkt_blocks=4)
+    assert bbd_an._kkt_cache[1] is kkt_before
+    assert bbd_an.method.result.status in ("optimal", "acceptable")
+
+    # fresh build with the same edit agrees
+    sys2 = synthetic_grid(6, 6, opf=True)
+    from juliagrid_tpu.system.builders import cost as cost_builder
+    cost_builder(sys2, 1, active=2, polynomial=[0.05, 25.0, 0.0])
+    fresh = ac_solve(ac_optimal_power_flow(sys2), kkt_blocks=0)
+    assert abs(bbd_an.method.objective - fresh.method.objective) \
+        < 1e-5 * max(1.0, abs(fresh.method.objective))
