@@ -583,53 +583,12 @@ CONFIGS = [
 
 # Launch order: highest information first, so a tight budget still yields
 # the headline ratios (NR fleet, SE+MFU, DC fleet) before the long tails.
+# config4 runs LAST in fast mode: its LNR/LAV loops are host-dispatch
+# bound through the tunnel (observed >900 s solo on-chip against a ~23 ms
+# dispatch floor) and must only start if the budget still allows.
 ORDER = ["config1_nr14_flat", "config3_wls_se_118", "config2_dc_fdpf_118",
-         "config4_lav_baddata_118", "config5b_se_pegase",
+         "config5b_se_pegase", "config4_lav_baddata_118",
          "config5a_opf_pegase"]
-
-CHILD_TIMEOUT_S = 1500   # per-config wall ceiling (compiles included)
-CHILD_TIMEOUTS = {"config5a_opf_pegase": 2100}  # pegase IPM compile + 900 s
-
-# Minimum believable wall for a COLD child (tunnel compiles included) —
-# used to skip a config outright when the remaining overall budget cannot
-# fit it, instead of launching it and eating a guaranteed timeout. Warm
-# (persistent-cache) runs finish far under these.
-CHILD_MIN_S = {
-    "config1_nr14_flat": 90, "config2_dc_fdpf_118": 110,
-    "config3_wls_se_118": 120, "config4_lav_baddata_118": 180,
-    "config5b_se_pegase": 240, "config5a_opf_pegase": 600,
-}
-
-# Inline (fast-mode) minimums: no per-config process + TPU-client init,
-# so the floor is just the config's own device work.
-INLINE_MIN_S = {
-    "config1_nr14_flat": 50, "config2_dc_fdpf_118": 40,
-    "config3_wls_se_118": 50, "config4_lav_baddata_118": 80,
-    "config5b_se_pegase": 150,
-}
-
-
-def _run_child(name):
-    """Child process: run ONE config and write its detail dict as JSON to
-    BENCH_OUT. Only children touch JAX/the chip — process isolation so a
-    RESOURCE_EXHAUSTED in one config cannot poison the TPU client for the
-    rest (round-3 lesson: after config 4 OOM'd, every later allocation
-    failed instantly)."""
-    import jax
-
-    device = jax.devices()[0]
-    on_tpu = device.platform not in ("cpu",)
-    fn = dict(CONFIGS)[name]
-    t0 = time.perf_counter()
-    try:
-        out = fn(on_tpu)
-    except Exception as exc:
-        out = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
-    out["config_wall_s"] = round(time.perf_counter() - t0, 1)
-    out["device"] = str(device)
-    with open(os.environ["BENCH_OUT"], "w") as f:
-        json.dump(out, f)
-
 
 RATIO_KEYS = [
     ("config1_nr14_flat", ("fleet_speedup",)),
@@ -671,126 +630,182 @@ def _select(order):
             in only.split(",")], only
 
 
-def main_fast():
-    """Fast mode (default): ALL configs inline in ONE process. The
-    per-child process + TPU-client/tunnel init is 30-60 s — five isolated
-    children cannot fit the driver's wall clock even fully warm (the
-    round-4 post-mortem of the round-3 rc=124). A config failure (even an
-    OOM that poisons later allocations) is survivable because a complete
-    JSON line is flushed after EVERY config, and a WATCHDOG thread
-    force-flushes the latest detail and exits 0 at the deadline — a hung
-    device call (tunnel stalls have been observed to block a client
-    indefinitely) can cost the remaining configs but never the output."""
-    import sys
-    import threading
-
-    deadline = time.perf_counter() + BUDGET_S
-    detail = {}
-    state = {"partial": True}
-
-    def _flush(partial):
-        _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
-              partial=partial)
-
-    def _watchdog():
-        threading.main_thread().join(deadline + 20.0 - time.perf_counter())
-        if threading.main_thread().is_alive():
-            print(f"[bench] watchdog fired at budget +20s; "
-                  f"flushing {len(detail)} entries",
-                  file=sys.stderr, flush=True)
-            detail.setdefault("watchdog", "fired: a config hung past "
-                                          "the overall budget")
-            _flush(partial=True)
-            os._exit(0)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
-
+def _run_inline_child(names_csv):
+    """Child: run the listed configs INLINE (one TPU-client/tunnel init),
+    appending one JSON line per finished config to BENCH_OUT. Only
+    children touch JAX/the chip; the parent supervises, streams results,
+    and never stalls."""
     import jax
+
+    out_path = os.environ["BENCH_OUT"]
+
+    def emit(name, payload):
+        with open(out_path, "a") as f:
+            f.write(json.dumps({"name": name, **payload}) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
     device = jax.devices()[0]
     on_tpu = device.platform not in ("cpu",)
-    detail["device"] = str(device)
-    names, only = _select([n for n in ORDER if n != "config5a_opf_pegase"])
-    if not names:
-        _emit({"budget_s": BUDGET_S, "full": FULL, "error": "no configs "
-               f"selected (BENCH_ONLY={only!r})"}, partial=False)
-        return
-    _flush(partial=True)  # a parseable line exists from the first moment
+    emit("_device", {"device": str(device)})
     fns = dict(CONFIGS)
-    for i, name in enumerate(names):
+    for name in names_csv.split(","):
         t0 = time.perf_counter()
-        last = i + 1 == len(names)
-        if deadline - t0 < INLINE_MIN_S[name]:
-            detail[name] = {"skipped": f"insufficient budget "
-                                       f"({deadline - t0:.0f}s remaining)"}
-            _flush(partial=not last)
-            continue
-        print(f"[bench] {name} start t+{t0 - deadline + BUDGET_S:.0f}s",
-              file=sys.stderr, flush=True)
         try:
-            out = fns[name](on_tpu)
+            res = fns[name](on_tpu)
         except Exception as exc:
-            out = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
-        out["config_wall_s"] = round(time.perf_counter() - t0, 1)
-        detail[name] = out
-        _flush(partial=not last)
+            res = {"error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        res["config_wall_s"] = round(time.perf_counter() - t0, 1)
+        emit(name, res)
+
+
+# Per-config PROGRESS ceilings (seconds, warm-ish chip): if the child
+# produces no result for the config it is on within this window, the
+# config is declared STALLED — the axon tunnel has been observed to block
+# a single device call INDEFINITELY (round-4 finding: a program that
+# completes in 58 s hung >16 min, main thread futex-parked in a transfer;
+# no in-process recovery exists). The parent then kills the child's whole
+# process group and respawns a fresh child with the remaining configs;
+# one retry per config when the budget allows.
+PROGRESS_S = {
+    "config1_nr14_flat": 280, "config3_wls_se_118": 180,
+    "config2_dc_fdpf_118": 120, "config5b_se_pegase": 330,
+    "config4_lav_baddata_118": 480, "config5a_opf_pegase": 2100,
+}
+INIT_S = 90          # extra allowance for the first config in a child
+MAX_ATTEMPTS = 2
 
 
 def main():
+    """Supervisor (never imports JAX, so it can always flush): streams
+    per-config results from inline children, kills a child group whose
+    current config stalls, retries once, and prints a complete cumulative
+    JSON line after every event. rc is 0 in every outcome; the final
+    line is authoritative."""
+    import signal
     import subprocess
     import sys
     import tempfile
 
-    # full mode: every config runs in its own subprocess — one failure
-    # (even an OOM that wedges the TPU client) must never cost the others
-    # their numbers. The chip is single-tenant, so children run serially.
     deadline = time.perf_counter() + BUDGET_S
+    scale = 2.0 if FULL else 1.0
     detail = {}
-    names, only = _select(ORDER)
-    for i, name in enumerate(names):
-        t0 = time.perf_counter()
-        remaining = deadline - t0
-        last = i + 1 == len(names)
-        if remaining < CHILD_MIN_S[name]:
-            detail[name] = {"skipped": f"insufficient budget "
-                                       f"({remaining:.0f}s remaining)"}
-            _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
-                  partial=not last)
-            continue
-        budget = min(CHILD_TIMEOUTS.get(name, CHILD_TIMEOUT_S),
-                     remaining - 5.0)
-        with tempfile.NamedTemporaryFile(suffix=".json", mode="r") as tf:
-            env = dict(os.environ, BENCH_CHILD=name, BENCH_OUT=tf.name)
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)], env=env,
-                    timeout=budget, capture_output=True, text=True)
-                body = tf.read()
-                if body:
-                    detail[name] = json.loads(body)
-                else:
-                    tail = (proc.stderr or proc.stdout or "")[-300:]
-                    detail[name] = {
-                        "error": f"child exited rc={proc.returncode} "
-                                 f"without result: {tail}"}
-            except subprocess.TimeoutExpired:
-                detail[name] = {
-                    "error": f"child timed out after {budget:.0f}s"}
-        detail[name].setdefault(
-            "config_wall_s", round(time.perf_counter() - t0, 1))
-        device = detail[name].pop("device", None)
-        if device:
-            detail["device"] = device
-        _emit({"budget_s": BUDGET_S, "full": FULL, **detail},
-              partial=not last)
+
+    def flush(partial=True):
+        _emit({"budget_s": BUDGET_S, "full": FULL, **detail}, partial)
+
+    base = ORDER if FULL else \
+        [n for n in ORDER if n != "config5a_opf_pegase"]
+    names, only = _select(base)
     if not names:
-        _emit({"budget_s": BUDGET_S, "full": FULL, "error": "no configs "
-               f"selected (BENCH_ONLY={only!r})"}, partial=False)
+        detail["error"] = f"no configs selected (BENCH_ONLY={only!r})"
+        flush(partial=False)
+        return
+    attempts = {n: 0 for n in names}
+    pending = list(names)
+    flush()  # a parseable line exists from the first moment
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    while pending:
+        remaining = deadline - time.perf_counter()
+        if remaining < INIT_S + 45:
+            for n in pending:
+                detail.setdefault(n, {
+                    "skipped": f"insufficient budget "
+                               f"({remaining:.0f}s remaining)"})
+            break
+        out_path = tempfile.mktemp(suffix=".jsonl")
+        env = dict(os.environ, BENCH_INLINE=",".join(pending),
+                   BENCH_OUT=out_path)
+        note(f"spawn child for {pending} ({remaining:.0f}s left)")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        offset = 0
+        current = pending[0]
+        first_in_child = True
+        t_cfg = time.perf_counter()
+        stalled = False
+        while True:
+            time.sleep(1.0)
+            # drain any newly completed results
+            try:
+                with open(out_path) as f:
+                    f.seek(offset)
+                    new = f.read()
+                    offset = f.tell()
+            except FileNotFoundError:
+                new = ""
+            for line in new.splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                nm = rec.pop("name")
+                if nm == "_device":
+                    detail["device"] = rec["device"]
+                    continue
+                detail[nm] = rec
+                if nm in pending:
+                    pending.remove(nm)
+                flush(partial=bool(pending))
+                current = pending[0] if pending else None
+                first_in_child = False
+                t_cfg = time.perf_counter()
+            if proc.poll() is not None and not pending:
+                break
+            if proc.poll() is not None:
+                # child died with configs outstanding: mark the one it
+                # was on, keep the rest for a fresh child
+                attempts[current] += 1
+                detail[current] = {
+                    "error": f"child exited rc={proc.returncode} "
+                             f"mid-config (attempt {attempts[current]})"}
+                if attempts[current] >= MAX_ATTEMPTS:
+                    pending.remove(current)
+                flush(partial=bool(pending))
+                break
+            if current is None:
+                continue
+            allowed = PROGRESS_S[current] * scale \
+                + (INIT_S if first_in_child else 0.0)
+            over_cfg = time.perf_counter() - t_cfg > allowed
+            over_all = time.perf_counter() > deadline
+            if over_cfg or over_all:
+                stalled = True
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
+                attempts[current] += 1
+                why = "overall budget exhausted" if over_all else \
+                    f"no progress in {allowed:.0f}s (tunnel stall?)"
+                detail[current] = {
+                    "error": f"stalled: {why} "
+                             f"(attempt {attempts[current]})"}
+                note(f"{current} stalled ({why}); killed child group")
+                if attempts[current] >= MAX_ATTEMPTS or over_all:
+                    pending.remove(current)
+                flush(partial=bool(pending))
+                break
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+        if proc.poll() is None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+    flush(partial=False)
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_CHILD"):
-        _run_child(os.environ["BENCH_CHILD"])
-    elif FULL:
-        main()
+    if os.environ.get("BENCH_INLINE"):
+        _run_inline_child(os.environ["BENCH_INLINE"])
     else:
-        main_fast()
+        main()
