@@ -17,10 +17,17 @@ validated exactly against the MATPOWER goldens (tests/test_oracle.py).
 LAV and AC OPF have no scipy-class oracle (the reference rides Ipopt);
 they are reported as absolute numbers without a ratio.
 
-Prints one complete JSON line after EVERY config (same schema, geomean
-over what has completed, ``"partial": true`` until the last) so a run
-killed by the driver's wall clock still leaves a parseable result on
-stdout; the FINAL line is the authoritative one. Overall wall budget:
+Runner architecture (round-4 redesign): a SUPERVISOR parent that never
+imports JAX spawns one inline child for all pending configs (a single
+TPU-client/tunnel init), streams per-config results from a JSONL file,
+and prints one complete cumulative JSON line after EVERY event (same
+schema, geomean over what has completed, ``"partial": true`` until the
+last) — so a run killed by the driver's wall clock still leaves a
+parseable result on stdout; the FINAL line is authoritative. If the
+child makes no progress on its current config within that config's
+ceiling (the axon tunnel can block a single device call indefinitely),
+the parent kills the child's process group and respawns with the rest;
+one retry per config. rc is 0 in every outcome. Overall wall budget:
 ``BENCH_BUDGET_S`` (default 480 s fast / 3600 s with ``BENCH_FULL=1``).
 """
 

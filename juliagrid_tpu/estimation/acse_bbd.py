@@ -251,9 +251,7 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
     rhs_i = jnp.einsum("krc,kr->kc", h_int, wr)
     rhs_bk = jnp.einsum("krc,kr->kc", h_bdr, wr)        # (k, 2lb)
 
-    lu, piv = jax.vmap(linalg.lu_factor32)(g_ii)
-    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, g_ii, rhs_i)
-    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, g_ii, g_ib)
+    y, z = linalg.batched_lu_solve2(g_ii, rhs_i, g_ib)
 
     # Schur matrix scatter-assembled from local contributions (the pad
     # sentinel row/col 2mb is sliced away)

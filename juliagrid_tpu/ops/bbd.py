@@ -146,9 +146,7 @@ def bbd_solve(arr: BbdArrays, rhs):
         arr.interior_idx, arr.interior_mask)
     r_b = rhs[arr.border_idx]
 
-    lu, piv = jax.vmap(linalg.lu_factor32)(arr.a_ii)
-    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, arr.a_ii, r_i)
-    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, arr.a_ii, arr.a_ib)
+    y, z = linalg.batched_lu_solve2(arr.a_ii, r_i, arr.a_ib)
     schur = arr.a_bb - jnp.sum(arr.a_bi @ z, axis=0)
     rhs_b = r_b - jnp.sum(
         jnp.einsum("kmi,ki->km", arr.a_bi, y), axis=0)

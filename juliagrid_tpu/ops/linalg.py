@@ -159,3 +159,34 @@ def lu_solve_refined(lu, piv, a64, b64, refine: int = _REFINE_STEPS):
         return x + d.astype(b64.dtype)
 
     return jax.lax.fori_loop(0, refine, body, x)
+
+
+# XLA's BATCHED LuDecompositionBlock custom call stages a (k, n, 128)
+# f32 panel in scoped VMEM (16 MB): past ~k*n*512 B it fails to COMPILE
+# ("ran out of memory in memory space vmem", 25k-bus round-4 finding) —
+# and since k*n tracks the TOTAL interior row count, no block-count
+# rebalancing can save a big enough system. Above the row budget the
+# batch factors sequentially with lax.map: each block's LU is large
+# enough to occupy the MXU on its own, so batching loses little there.
+_BATCH_LU_VMEM_ROWS = 20000
+
+
+def batched_lu_solve2(a_ii, r1, r2):
+    """Per-block LU factor + two refined solves, batch-size aware.
+
+    a_ii: (k, n, n); r1: (k, n) or (k, n, m); r2: (k, n, m2).
+    Returns (y1, y2) matching the vmapped semantics."""
+    k, n, _ = a_ii.shape
+    if k * n <= _BATCH_LU_VMEM_ROWS:
+        lu, piv = jax.vmap(lu_factor32)(a_ii)
+        y1 = jax.vmap(lu_solve_refined)(lu, piv, a_ii, r1)
+        y2 = jax.vmap(lu_solve_refined)(lu, piv, a_ii, r2)
+        return y1, y2
+
+    def per_block(ab):
+        a, b1, b2 = ab
+        lu, piv = lu_factor32(a)
+        return (lu_solve_refined(lu, piv, a, b1),
+                lu_solve_refined(lu, piv, a, b2))
+
+    return jax.lax.map(per_block, (a_ii, r1, r2))

@@ -281,9 +281,7 @@ def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
     r_bdr = r_bdr * mbd
 
     # Schur solve
-    lu, piv = jax.vmap(linalg.lu_factor32)(a_ii)
-    y = jax.vmap(linalg.lu_solve_refined)(lu, piv, a_ii, r_int)
-    z = jax.vmap(linalg.lu_solve_refined)(lu, piv, a_ii, a_ib)
+    y, z = linalg.batched_lu_solve2(a_ii, r_int, a_ib)
     schur = a_bb - jnp.sum(a_bi @ z, axis=0)
     rhs_b = r_bdr - jnp.sum(jnp.einsum("kmi,ki->km", a_bi, y), axis=0)
     x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_b)

@@ -1,0 +1,50 @@
+"""Pin the >=25k-bus BBD solve path on the CPU mesh.
+
+XLA's BATCHED LuDecompositionBlock stages a (k, n, 128) f32 panel in
+16 MB scoped VMEM; at 25k buses k*2ni exceeds it for ANY block count, so
+linalg.batched_lu_solve2 switches to a sequential lax.map. This test
+forces that path at small scale and asserts exact parity with the dense
+NR solve — the shape of benchmarks/scale_25k.py without the scale."""
+
+import numpy as np
+import pytest
+
+import juliagrid_tpu as jg
+import juliagrid_tpu.ops.linalg as linalg_mod
+from juliagrid_tpu.powerflow.ac import newton_raphson
+from juliagrid_tpu.powerflow.driver import power_flow
+from juliagrid_tpu.powerflow.newton_bbd import (newton_raphson_bbd,
+                                                power_flow_bbd)
+from juliagrid_tpu.utils.synthetic import synthetic_grid
+
+
+def test_nr_bbd_laxmap_lu_parity(data_path, monkeypatch):
+    system = jg.power_system(str(data_path / "case118.m"))
+    pf = newton_raphson(system)
+    power_flow(pf)
+
+    monkeypatch.setattr(linalg_mod, "_BATCH_LU_VMEM_ROWS", 10)
+    system2 = jg.power_system(str(data_path / "case118.m"))
+    bbd = newton_raphson_bbd(system2, n_blocks=4)
+    power_flow_bbd(bbd)
+    assert bbd.method.converged
+    assert bbd.method.iteration == pf.method.iteration
+    assert np.max(np.abs(bbd.voltage.magnitude
+                         - pf.voltage.magnitude)) < 1e-12
+
+
+@pytest.mark.slow
+def test_synthetic_lattice_bbd_laxmap(monkeypatch):
+    """Lattice + EHV backbone (the 25k generator's exact shape, small),
+    solved on the sequential-LU path, estimator-reproduces-PF asserted."""
+    monkeypatch.setattr(linalg_mod, "_BATCH_LU_VMEM_ROWS", 10)
+    system = synthetic_grid(12, 12)
+    pf = newton_raphson_bbd(system, n_blocks=4)
+    power_flow_bbd(pf)
+    assert pf.method.converged
+
+    system2 = synthetic_grid(12, 12)
+    ref = newton_raphson(system2)
+    power_flow(ref)
+    assert np.max(np.abs(pf.voltage.magnitude
+                         - ref.voltage.magnitude)) < 1e-10
