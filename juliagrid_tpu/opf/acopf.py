@@ -959,10 +959,15 @@ _KKT_BBD_AUTO = 4000
 
 def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
           tolerance: float = 1e-8, verbose: int = 0,
-          max_seconds=None, kkt_blocks=None) -> AcOptimalPowerFlow:
+          max_seconds=None, kkt_blocks=None,
+          kkt_mesh=None) -> AcOptimalPowerFlow:
     """``kkt_blocks``: number of BBD interior blocks for the structured
     KKT solver (opf/kkt_bbd.py). ``None`` = auto (dense below
-    ``_KKT_BBD_AUTO`` buses, BBD above); ``0`` forces dense."""
+    ``_KKT_BBD_AUTO`` buses, BBD above); ``0`` forces dense.
+    ``kkt_mesh``: optional jax.sharding.Mesh with a ``block`` axis —
+    interior KKT blocks factor one-per-device with the Schur reduction
+    riding a psum (model-parallel single-case OPF); requires
+    kkt_blocks == axis size."""
     analysis._refresh_spec()
     spec = analysis._spec
     import jax.numpy as jnp_
@@ -985,12 +990,12 @@ def solve(analysis: AcOptimalPowerFlow, max_iter: int = 300,
         # reuse the routed structure — re-solving hits the XLA compile
         # cache; structural edits change the layout (or rebuild the spec)
         # and re-route
-        key = (id(spec), layout, kkt_blocks)
+        key = (id(spec), layout, kkt_blocks, id(kkt_mesh))
         if cache is not None and cache[0] == key:
             kkt_obj = cache[1]
         else:
             from .kkt_bbd import AcKktBbd
-            kkt_obj = AcKktBbd(spec, kkt_blocks)
+            kkt_obj = AcKktBbd(spec, kkt_blocks, mesh=kkt_mesh)
             analysis._kkt_cache = (key, kkt_obj)
     problem = NlpProblem(objective=spec.objective, eq=spec.eq,
                          ineq=spec.ineq if has_ineq else None,

@@ -56,8 +56,20 @@ class AcKktBbd:
     ``row_maxes(x, p)``.
     """
 
-    def __init__(self, spec, n_blocks: int):
+    def __init__(self, spec, n_blocks: int, mesh=None,
+                 mesh_axis: str = "block"):
+        """``mesh``: optional jax.sharding.Mesh — interior KKT blocks then
+        factor one-per-device over ``mesh_axis`` with the Schur reduction
+        riding a psum over ICI (ops/bbd.bbd_solve_sharded), the
+        model-parallel axis for single-case OPF beyond one chip's HBM.
+        Requires n_blocks == mesh axis size."""
         self.spec = spec
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None and mesh.shape[mesh_axis] != n_blocks:
+            raise ValueError(
+                f"n_blocks={n_blocks} must equal mesh axis "
+                f"'{mesh_axis}' size {mesh.shape[mesh_axis]}")
         n, g = spec.n, spec.g
         self.n_x = spec.n_x
         self.m_e = spec.m_e
@@ -495,7 +507,12 @@ class AcKktBbd:
             interior_idx=self._interior_idx,
             interior_mask=self._interior_mask,
             border_idx=self._border_idx)
-        sol = d * bbd_solve(arr, rhs_s)
+        if self.mesh is not None:
+            from ..ops.bbd import bbd_solve_sharded
+            sol = d * bbd_solve_sharded(self.mesh, arr, rhs_s,
+                                        axis=self.mesh_axis)
+        else:
+            sol = d * bbd_solve(arr, rhs_s)
 
         ax = jax.ops.segment_sum(vals * sol[self._cols], self._rows,
                                  num_segments=self.n_aug)
