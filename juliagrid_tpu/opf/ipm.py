@@ -40,6 +40,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -279,14 +281,21 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         return (jnp.max(jnp.abs(r_d)) / s_d, jnp.argmax(jnp.abs(r_d)),
                 prim, comp, comp_row)
 
-    @jax.jit
-    def step(x, y, z, s, mu, delta, ce, ri, p):
+    def _make_step(kkt_solver):
+        return jax.jit(partial(_step_body, kkt_solver))
+
+    def _step_body(kkt_solver, x, y, z, s, mu, delta, ce, ri, p):
         """Newton step on the condensed barrier KKT system.
 
         ``ce``/``ri`` are the equality and inequality-minus-slack residual
         vectors used on the right-hand side; passing them in lets a
         second-order correction reuse this exact compiled graph with the
-        Wächter-Biegler corrected residuals.
+        Wächter-Biegler corrected residuals. ``kkt_solver(kkt_s, rhs_s)``
+        solves the equilibrated system: the f32-MXU factorization + f64
+        refinement normally, the full-f64 SQD LDL^T when the outer loop
+        detects the f32 precision wall (endgame active sets push the
+        equilibrated KKT's condition past what f32 backward error allows
+        — the round-4 pegase finding).
         """
         w = hess_l(x, y, z, p)
         g = grad_f(x, p)
@@ -321,7 +330,7 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         # converge); D A D compresses the dynamic range to O(1)
         d = 1.0 / jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(kkt), axis=1), 1e-12))
         kkt_s = d[:, None] * kkt * d[None, :]
-        sol = d * linalg.solve(linalg.factorize(kkt_s, linalg.LU), d * rhs)
+        sol = d * kkt_solver(kkt_s, d * rhs)
         # linear-solve quality: a silently failed f32 factorization shows up
         # as a large relative residual — the driver escalates delta then
         lin_res = jnp.max(jnp.abs(kkt @ sol - rhs)) / (
@@ -352,12 +361,26 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
 
         return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
 
+    step = _make_step(
+        lambda kkt_s, rhs_s: linalg.solve(
+            linalg.factorize(kkt_s, linalg.LU), rhs_s))
+    # endgame fallback: full-f64 unpivoted LDL^T (valid for the
+    # regularized symmetric quasi-definite KKT; linalg.solve_f64_sqd).
+    # Compiled lazily — only solves that actually hit the f32 wall pay
+    # its compile.
+    step_f64 = _make_step(
+        lambda kkt_s, rhs_s: linalg.solve_f64_sqd(kkt_s, rhs_s, refine=1))
+
     if kkt_obj is not None:
         # structured override: same signature/semantics as the dense step
         # above, but the augmented system is assembled and factorized in
         # BBD form by kkt_obj and all matrix-vector products are
         # vjp/jvp — nothing (m, n_x)-dense is ever materialized. The
-        # dense `step` is never traced when this branch is active.
+        # dense `step` is never traced when this branch is active, and
+        # the dense f64 fallback is unavailable (it would materialize
+        # the full KKT).
+        step_f64 = None
+
         @jax.jit
         def step(x, y, z, s, mu, delta, ce, ri, p):  # noqa: F811
             g = grad_f(x, p)
@@ -415,7 +438,7 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         dx = -d * linalg.solve(linalg.factorize(a_s, linalg.LU), d * g)
         return dx, 0.5 * (r @ r)
 
-    return step, kkt_error, metrics, resto_step, \
+    return step, step_f64, kkt_error, metrics, resto_step, \
         (c_e, c_i, grad_f, jac_e, jac_i, kkt_components)
 
 
@@ -549,11 +572,15 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         (pp["gi"] * zz / pp["sf"]) if m_i else zz, pp["p"])) \
         if hess_raw is not None else None
 
-    step, kkt_error, metrics, resto_step, \
+    step, step_f64, kkt_error, metrics, resto_step, \
         (c_e, c_i, grad_f, jac_e, jac_i, kkt_components) = _make_fns(
         f, c_e_fn, c_i_fn, n_x, m_e, m_i,
         jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn,
         kkt_obj=problem.kkt)
+    # once the f32 precision wall is detected (failed linear residual at
+    # the endgame), every later Newton system solves through the f64
+    # LDL^T — active-set conditioning only worsens as mu shrinks
+    use_f64 = False
     # the restoration LM and the dual-recovery polish both materialize
     # dense (m, n_x)/(n_x, n_x) intermediates — fine to pegase scale,
     # structurally OOM at 10k+. The structured-KKT path survives without
@@ -950,7 +977,9 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         delta = 0.0 if delta_last == 0.0 else max(1e-20, delta_last / 3.0)
         ok = False
         for attempt in range(30):
-            out = step(x, y, z, s, mu, delta, ce_k, ri_k, pk)
+            cur_step = step_f64 if (use_f64 and step_f64 is not None) \
+                else step
+            out = cur_step(x, y, z, s, mu, delta, ce_k, ri_k, pk)
             dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi = out
             dxn = float(dx @ dx)
             ok = bool(jnp.all(jnp.isfinite(dx))) \
@@ -958,6 +987,19 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 and (float(curv) >= 1e-12 * dxn or dxn == 0.0)
             if ok:
                 break
+            if not use_f64 and step_f64 is not None \
+                    and bool(jnp.all(jnp.isfinite(dx))) \
+                    and float(lin_res) >= 1e-6:
+                # finite step but the linear residual check failed: the
+                # f32 factorization hit its precision wall (endgame
+                # active-set conditioning), NOT an inertia problem —
+                # switch to the full-f64 SQD LDL^T for the rest of the
+                # solve and retry at the same delta
+                use_f64 = True
+                if verbose >= 1:
+                    print(f"  ipm iter {it}: f32 lin_res "
+                          f"{float(lin_res):.1e} -> f64 LDL^T endgame")
+                continue
             delta = 1e-8 * max(1.0, float(jnp.max(jnp.abs(x)))) \
                 if delta == 0.0 else delta * 8.0
         delta_last = delta
@@ -1011,7 +1053,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                     np.isfinite(theta_t) and theta_t >= theta_k:
                 ce_soc = alpha * ce_k + ce_t if m_e else ce_k
                 ri_soc = alpha * ri_k + ri_t if m_i else ri_k
-                out = step(x, y, z, s, mu, delta, ce_soc, ri_soc, pk)
+                out = cur_step(x, y, z, s, mu, delta, ce_soc, ri_soc, pk)
                 dx_c, _, ds_c, _, alpha_s_c, _, lin_res_c, _, _ = out
                 if bool(jnp.all(jnp.isfinite(dx_c))) and \
                         float(lin_res_c) < 1e-6:

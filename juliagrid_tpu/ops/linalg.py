@@ -190,3 +190,103 @@ def batched_lu_solve2(a_ii, r1, r2):
                 lu_solve_refined(lu, piv, a, b2))
 
     return jax.lax.map(per_block, (a_ii, r1, r2))
+
+
+# ---------------------------------------------------------------------------
+# Full-f64 blocked LDL^T — the endgame factorization.
+#
+# TPU XLA has no f64 LU/Cholesky expander, and near an interior-point
+# active set the equilibrated KKT's condition number exceeds what the f32
+# factorization can carry (round-4 pegase finding: lin_res stalls > 1e-6,
+# IR diverges, f32-preconditioned GMRES stagnates ~1e-2 — the f32
+# BACKWARD ERROR is the wall). The KKT in its regularized form
+#     [ W + Sigma + delta I      J_E^T   ]
+#     [ J_E                    -delta_c I ]
+# is symmetric QUASI-DEFINITE for delta, delta_c > 0, and SQD matrices
+# admit a stable LDL^T WITHOUT pivoting (Vanderbei 1995; Gill et al.) —
+# exactly the shape a TPU wants: no pivot search, panel recurrences in
+# f64 vector ops, trailing updates as emulated-f64 MXU matmuls (the
+# dominant cost, ~n^3/3 FLOPs). Used as the host-triggered fallback when
+# the f32 path's linear residual check fails.
+# ---------------------------------------------------------------------------
+
+_LDLT_PANEL = 128
+
+
+def ldlt_f64(a64: jax.Array, panel: int = _LDLT_PANEL):
+    """Unpivoted blocked LDL^T of a symmetric (quasi-definite) matrix in
+    full f64. Returns (L unit-lower, d diagonal)."""
+    n = a64.shape[0]
+    nb = -(-n // panel)
+    n_pad = nb * panel
+    # pad with an identity tail so every panel is full
+    a = jnp.zeros((n_pad, n_pad), dtype=a64.dtype)
+    a = a.at[:n, :n].set(a64)
+    a = a.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+
+    def panel_step(k, carry):
+        l_mat, d_vec, a_work = carry
+        c0 = k * panel
+
+        # unblocked LDL^T of the panel columns against the trailing block
+        def col_step(j, pc):
+            l_mat, d_vec, a_work = pc
+            col = c0 + j
+            ajj = a_work[col, col]
+            d_j = jnp.where(jnp.abs(ajj) > 1e-300, ajj,
+                            jnp.sign(ajj) * 1e-300 + 1e-300)
+            lcol = a_work[:, col] / d_j
+            rows = jnp.arange(n_pad)
+            below = rows > col
+            lcol = jnp.where(below, lcol, 0.0)
+            # rank-1 downdate of the remaining columns in this panel +
+            # the trailing matrix columns up to the panel edge (the rest
+            # is updated blockwise below)
+            in_scope = (jnp.arange(n_pad) > col) \
+                & (jnp.arange(n_pad) < c0 + panel)
+            upd = jnp.where(in_scope[None, :],
+                            lcol[:, None] * (d_j * lcol)[None, :], 0.0)
+            a_work = a_work - upd
+            l_mat = l_mat.at[:, col].set(
+                jnp.where(rows == col, 1.0, lcol))
+            d_vec = d_vec.at[col].set(d_j)
+            return l_mat, d_vec, a_work
+
+        l_mat, d_vec, a_work = jax.lax.fori_loop(
+            0, panel, col_step, (l_mat, d_vec, a_work))
+
+        # blocked trailing update: A_22 -= L_2k D_k L_2k^T
+        l_pan = jax.lax.dynamic_slice(
+            l_mat, (0, c0), (n_pad, panel))      # (n_pad, panel)
+        d_pan = jax.lax.dynamic_slice(d_vec, (c0,), (panel,))
+        rows = jnp.arange(n_pad)
+        beyond = rows >= c0 + panel
+        l_tail = jnp.where(beyond[:, None], l_pan, 0.0)
+        a_work = a_work - l_tail @ (d_pan[:, None] * l_tail.T)
+        return l_mat, d_vec, a_work
+
+    l0 = jnp.zeros((n_pad, n_pad), dtype=a64.dtype)
+    d0 = jnp.zeros(n_pad, dtype=a64.dtype)
+    l_mat, d_vec, _ = jax.lax.fori_loop(
+        0, nb, panel_step, (l0, d0, a))
+    return l_mat[:n, :n], d_vec[:n]
+
+
+def ldlt_solve(l_mat: jax.Array, d_vec: jax.Array, b64: jax.Array):
+    """Solve L D L^T x = b in f64 (unit-lower triangular solves)."""
+    y = jsl.solve_triangular(l_mat, b64, lower=True, unit_diagonal=True)
+    y = y / d_vec if y.ndim == 1 else y / d_vec[:, None]
+    return jsl.solve_triangular(l_mat.T, y, lower=False,
+                                unit_diagonal=True)
+
+
+def solve_f64_sqd(a64: jax.Array, b64: jax.Array,
+                  refine: int = 1) -> jax.Array:
+    """One-shot f64 LDL^T factor + solve with one refinement sweep."""
+    l_mat, d_vec = ldlt_f64(a64)
+    x = ldlt_solve(l_mat, d_vec, b64)
+
+    def body(_, x):
+        return x + ldlt_solve(l_mat, d_vec, b64 - a64 @ x)
+
+    return jax.lax.fori_loop(0, refine, body, x)
