@@ -227,39 +227,39 @@ def ldlt_f64(a64: jax.Array, panel: int = _LDLT_PANEL):
     def panel_step(k, carry):
         l_mat, d_vec, a_work = carry
         c0 = k * panel
+        rows = jnp.arange(n_pad)
+        # the unblocked recurrence only ever touches THIS panel's column
+        # stripe — slice it once so every per-column downdate moves
+        # (n_pad, panel) data, not a masked (n_pad, n_pad) outer product
+        # (the latter is ~n/panel times the HBM traffic: hours at 6k)
+        stripe = jax.lax.dynamic_slice(a_work, (0, c0), (n_pad, panel))
+        cols_idx = jnp.arange(panel)
 
-        # unblocked LDL^T of the panel columns against the trailing block
-        def col_step(j, pc):
-            l_mat, d_vec, a_work = pc
+        def col_step(j, sc):
+            stripe, lpan, dpan = sc
             col = c0 + j
-            ajj = a_work[col, col]
+            ajj = stripe[col, j]
             d_j = jnp.where(jnp.abs(ajj) > 1e-300, ajj,
                             jnp.sign(ajj) * 1e-300 + 1e-300)
-            lcol = a_work[:, col] / d_j
-            rows = jnp.arange(n_pad)
-            below = rows > col
-            lcol = jnp.where(below, lcol, 0.0)
-            # rank-1 downdate of the remaining columns in this panel +
-            # the trailing matrix columns up to the panel edge (the rest
-            # is updated blockwise below)
-            in_scope = (jnp.arange(n_pad) > col) \
-                & (jnp.arange(n_pad) < c0 + panel)
-            upd = jnp.where(in_scope[None, :],
-                            lcol[:, None] * (d_j * lcol)[None, :], 0.0)
-            a_work = a_work - upd
-            l_mat = l_mat.at[:, col].set(
-                jnp.where(rows == col, 1.0, lcol))
-            d_vec = d_vec.at[col].set(d_j)
-            return l_mat, d_vec, a_work
+            lcol = jnp.where(rows > col, stripe[:, j] / d_j, 0.0)
+            # rank-1 downdate of the remaining panel columns: the needed
+            # row values of lcol are its entries at the panel rows
+            lrow = jax.lax.dynamic_slice(lcol, (c0,), (panel,))
+            upd = lcol[:, None] * (d_j * lrow)[None, :]
+            stripe = stripe - jnp.where((cols_idx > j)[None, :], upd, 0.0)
+            lpan = lpan.at[:, j].set(jnp.where(rows == col, 1.0, lcol))
+            dpan = dpan.at[j].set(d_j)
+            return stripe, lpan, dpan
 
-        l_mat, d_vec, a_work = jax.lax.fori_loop(
-            0, panel, col_step, (l_mat, d_vec, a_work))
+        lpan0 = jnp.zeros((n_pad, panel), dtype=a64.dtype)
+        dpan0 = jnp.zeros(panel, dtype=a64.dtype)
+        _, l_pan, d_pan = jax.lax.fori_loop(
+            0, panel, col_step, (stripe, lpan0, dpan0))
+
+        l_mat = jax.lax.dynamic_update_slice(l_mat, l_pan, (0, c0))
+        d_vec = jax.lax.dynamic_update_slice(d_vec, d_pan, (c0,))
 
         # blocked trailing update: A_22 -= L_2k D_k L_2k^T
-        l_pan = jax.lax.dynamic_slice(
-            l_mat, (0, c0), (n_pad, panel))      # (n_pad, panel)
-        d_pan = jax.lax.dynamic_slice(d_vec, (c0,), (panel,))
-        rows = jnp.arange(n_pad)
         beyond = rows >= c0 + panel
         l_tail = jnp.where(beyond[:, None], l_pan, 0.0)
         a_work = a_work - l_tail @ (d_pan[:, None] * l_tail.T)
