@@ -775,6 +775,19 @@ def main():
                 flush(partial=bool(pending))
                 break
             if current is None:
+                # all results are in; the child is only tearing down the
+                # TPU client. That teardown can ALSO stall in the tunnel —
+                # give it a short grace, then kill the group and move on
+                # (never let a drained child block the final flush).
+                teardown_over = time.perf_counter() - t_cfg > 60.0
+                if teardown_over or time.perf_counter() > deadline:
+                    note("child drained but won't exit; killing group")
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except ProcessLookupError:
+                        pass
+                    proc.wait()
+                    break
                 continue
             allowed = PROGRESS_S[current] * scale \
                 + (INIT_S if first_in_child else 0.0)

@@ -376,13 +376,11 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         # above, but the augmented system is assembled and factorized in
         # BBD form by kkt_obj and all matrix-vector products are
         # vjp/jvp — nothing (m, n_x)-dense is ever materialized. The
-        # dense `step` is never traced when this branch is active, and
-        # the dense f64 fallback is unavailable (it would materialize
-        # the full KKT).
-        step_f64 = None
-
-        @jax.jit
-        def step(x, y, z, s, mu, delta, ce, ri, p):  # noqa: F811
+        # endgame fallback routes the same assembly through the full-f64
+        # SQD LDL^T Schur path (AcKktBbd.solve_f64), so the f32 precision
+        # wall has an exit on the scale path too (round-4 advisor item);
+        # it compiles lazily, only if a solve actually hits the wall.
+        def _bbd_step_body(kkt_solve, x, y, z, s, mu, delta, ce, ri, p):
             g = grad_f(x, p)
             r_d = g
             if m_e:
@@ -394,7 +392,7 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
             else:
                 sigma = jnp.zeros(0)
             rhs_e = -ce if m_e else jnp.zeros(0)
-            dx, v, lin_res, curv = kkt_obj.solve(
+            dx, v, lin_res, curv = kkt_solve(
                 x, y, z, sigma, delta, -r_d, rhs_e, p)
             dy = -v if m_e else jnp.zeros(0)
             if m_i:
@@ -415,6 +413,9 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
                 alpha_z = jnp.asarray(1.0)
                 dphi = g @ dx
             return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
+
+        step = jax.jit(partial(_bbd_step_body, kkt_obj.solve))  # noqa: F811
+        step_f64 = jax.jit(partial(_bbd_step_body, kkt_obj.solve_f64))
 
     @jax.jit
     def resto_step(x, lam, p):

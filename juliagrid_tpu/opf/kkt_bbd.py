@@ -471,9 +471,8 @@ class AcKktBbd:
     # NlpProblem.kkt protocol
     # ------------------------------------------------------------------
 
-    def solve(self, x, y_s, z_s, sigma, delta, rhs_x, rhs_e, pk):
-        """Solve the augmented system; returns (dx, v, lin_res, curv)
-        with the same conventions as the dense step (v = -dy)."""
+    def _assemble(self, x, y_s, z_s, sigma, delta, pk, rhs_x, rhs_e):
+        """COO values -> equilibrated padded block arrays + scaled rhs."""
         vals = self._values(x, y_s, z_s, sigma, delta, pk)
         # structurally-zero cross-interior entries: force exact zeros so
         # a live-edited value can never leak across interiors silently
@@ -507,13 +506,10 @@ class AcKktBbd:
             interior_idx=self._interior_idx,
             interior_mask=self._interior_mask,
             border_idx=self._border_idx)
-        if self.mesh is not None:
-            from ..ops.bbd import bbd_solve_sharded
-            sol = d * bbd_solve_sharded(self.mesh, arr, rhs_s,
-                                        axis=self.mesh_axis)
-        else:
-            sol = d * bbd_solve(arr, rhs_s)
+        return vals, rhs, d, arr, rhs_s
 
+    def _finish(self, vals, rhs, sol):
+        """Unscaled residual check + curvature from the solved direction."""
         ax = jax.ops.segment_sum(vals * sol[self._cols], self._rows,
                                  num_segments=self.n_aug)
         lin_res = jnp.max(jnp.abs(ax - rhs)) / (1.0 + jnp.max(jnp.abs(rhs)))
@@ -522,6 +518,32 @@ class AcKktBbd:
         w_cols = self._cols[:self._n_w]
         curv = jnp.sum(w_vals * sol[w_rows] * sol[w_cols])
         return sol[:self.n_x], sol[self.n_x:], lin_res, curv
+
+    def solve(self, x, y_s, z_s, sigma, delta, rhs_x, rhs_e, pk):
+        """Solve the augmented system; returns (dx, v, lin_res, curv)
+        with the same conventions as the dense step (v = -dy)."""
+        vals, rhs, d, arr, rhs_s = self._assemble(
+            x, y_s, z_s, sigma, delta, pk, rhs_x, rhs_e)
+        if self.mesh is not None:
+            from ..ops.bbd import bbd_solve_sharded
+            sol = d * bbd_solve_sharded(self.mesh, arr, rhs_s,
+                                        axis=self.mesh_axis)
+        else:
+            sol = d * bbd_solve(arr, rhs_s)
+        return self._finish(vals, rhs, sol)
+
+    def solve_f64(self, x, y_s, z_s, sigma, delta, rhs_x, rhs_e, pk):
+        """Endgame variant: the same assembly, solved through the full-f64
+        SQD LDL^T Schur path (ops/bbd.bbd_solve_f64) — the structured twin
+        of linalg.solve_f64_sqd, used when the f32 factorization's backward
+        error stalls the interior-point endgame (round-4 pegase finding).
+        Runs unsharded even in mesh mode (the handful of endgame
+        iterations value correctness over the model-parallel layout)."""
+        vals, rhs, d, arr, rhs_s = self._assemble(
+            x, y_s, z_s, sigma, delta, pk, rhs_x, rhs_e)
+        from ..ops.bbd import bbd_solve_f64
+        sol = d * bbd_solve_f64(arr, rhs_s)
+        return self._finish(vals, rhs, sol)
 
     def row_maxes(self, x, p):
         """Per-row max|J| of the RAW equality/inequality Jacobians at x,

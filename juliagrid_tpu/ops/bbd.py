@@ -208,6 +208,69 @@ def bbd_solve_sharded(mesh, arr: BbdArrays, rhs, axis: str = "block"):
     return x
 
 
+def bbd_matvec(arr: BbdArrays, x):
+    """A @ x through the block structure (no dense n x n assembly)."""
+    x_i = jax.vmap(lambda idx, msk: x[idx] * msk)(
+        arr.interior_idx, arr.interior_mask)
+    x_b = x[arr.border_idx]
+    ax_i = jnp.einsum("kij,kj->ki", arr.a_ii, x_i) + arr.a_ib @ x_b
+    ax_b = arr.a_bb @ x_b + jnp.sum(
+        jnp.einsum("kmi,ki->km", arr.a_bi, x_i), axis=0)
+    n = x.shape[0]
+    out = jnp.zeros(n, dtype=x.dtype).at[arr.border_idx].set(ax_b)
+    for b in range(arr.a_ii.shape[0]):
+        out = out.at[arr.interior_idx[b]].add(
+            ax_i[b] * arr.interior_mask[b])
+    return out
+
+
+@jax.jit
+def bbd_solve_f64(arr: BbdArrays, rhs, refine: int = 2):
+    """Full-f64 Schur solve for a symmetric quasi-definite BBD matrix.
+
+    The endgame companion of ``bbd_solve``: every principal submatrix of
+    an SQD matrix is SQD and so is its Schur complement (Vanderbei 1995),
+    so the interior blocks and the border system all admit the unpivoted
+    f64 LDL^T (linalg.ldlt_f64). Used when the f32 factorization's
+    backward error stalls the interior-point endgame (lin_res >= 1e-6 at
+    active-set conditioning) — the structured-path twin of
+    linalg.solve_f64_sqd. Block elimination's FORWARD error still scales
+    with the interior conditioning, so the factors drive ``refine``
+    f64 refinement sweeps against the full BBD operator (each sweep is
+    two cheap block matvecs + the already-computed triangular solves).
+    Cost: emulated-f64 matmuls (~10-20x the f32 MXU rate), paid only on
+    the handful of endgame iterations.
+    """
+    l_i, d_i = jax.vmap(linalg.ldlt_f64)(arr.a_ii)
+    z = jax.vmap(linalg.ldlt_solve)(l_i, d_i, arr.a_ib)
+    schur = arr.a_bb - jnp.sum(arr.a_bi @ z, axis=0)
+    l_s, d_s = linalg.ldlt_f64(schur)
+
+    n = rhs.shape[0]
+
+    def direct(b):
+        r_i = jax.vmap(lambda idx, msk: b[idx] * msk)(
+            arr.interior_idx, arr.interior_mask)
+        r_b = b[arr.border_idx]
+        y = jax.vmap(linalg.ldlt_solve)(l_i, d_i, r_i)
+        rhs_b = r_b - jnp.sum(
+            jnp.einsum("kmi,ki->km", arr.a_bi, y), axis=0)
+        x_b = linalg.ldlt_solve(l_s, d_s, rhs_b)
+        x_i = y - jnp.einsum("kim,m->ki", z, x_b)
+        x = jnp.zeros(n, dtype=b.dtype).at[arr.border_idx].set(x_b)
+        for blk in range(arr.a_ii.shape[0]):
+            x = x.at[arr.interior_idx[blk]].add(
+                x_i[blk] * arr.interior_mask[blk])
+        return x
+
+    x = direct(rhs)
+
+    def body(_, x):
+        return x + direct(rhs - bbd_matvec(arr, x))
+
+    return jax.lax.fori_loop(0, refine, body, x)
+
+
 class BbdFactors(NamedTuple):
     """Precomputed BBD factorization: per-block f32 LU factors, the
     interior-solved coupling Z = A_ii^-1 B, and the factored Schur

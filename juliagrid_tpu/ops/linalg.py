@@ -170,6 +170,13 @@ def lu_solve_refined(lu, piv, a64, b64, refine: int = _REFINE_STEPS):
 # enough to occupy the MXU on its own, so batching loses little there.
 _BATCH_LU_VMEM_ROWS = 20000
 
+# test seam: number of times the sequential lax.map branch below has been
+# TRACED (the branch decision is Python-level, so a cached jit executable
+# re-runs without re-tracing — tests assert on this counter to prove the
+# sequential path was actually compiled, not silently served the vmap
+# branch from cache).
+_seq_lu_traces = 0
+
 
 def batched_lu_solve2(a_ii, r1, r2):
     """Per-block LU factor + two refined solves, batch-size aware.
@@ -182,6 +189,9 @@ def batched_lu_solve2(a_ii, r1, r2):
         y1 = jax.vmap(lu_solve_refined)(lu, piv, a_ii, r1)
         y2 = jax.vmap(lu_solve_refined)(lu, piv, a_ii, r2)
         return y1, y2
+
+    global _seq_lu_traces
+    _seq_lu_traces += 1
 
     def per_block(ab):
         a, b1, b2 = ab
@@ -240,7 +250,7 @@ def ldlt_f64(a64: jax.Array, panel: int = _LDLT_PANEL):
             col = c0 + j
             ajj = stripe[col, j]
             d_j = jnp.where(jnp.abs(ajj) > 1e-300, ajj,
-                            jnp.sign(ajj) * 1e-300 + 1e-300)
+                            jnp.where(ajj >= 0, 1e-300, -1e-300))
             lcol = jnp.where(rows > col, stripe[:, j] / d_j, 0.0)
             # rank-1 downdate of the remaining panel columns: the needed
             # row values of lcol are its entries at the panel rows

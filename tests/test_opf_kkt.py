@@ -96,6 +96,39 @@ def test_kkt_solve_matches_dense(data_path, case):
     assert abs(float(curv) - curv_ref) < 1e-6 * max(1.0, abs(curv_ref))
 
 
+def test_kkt_solve_f64_endgame(data_path):
+    """The structured f64 endgame (AcKktBbd.solve_f64) must solve the
+    SAME assembled system as the f32 path, and keep working where the
+    f32 factorization loses the solution: an endgame-shaped Sigma
+    spanning ~1e12 (the round-4 pegase wall, here injected directly)."""
+    spec, x, y, z, s, pk = _spec_and_state(data_path, "case118", seed=5)
+    rng = np.random.default_rng(6)
+    # endgame active set: z/s spread over 12 orders of magnitude
+    z = jnp.asarray(10.0 ** rng.uniform(-6, 6, spec.m_i))
+    s = jnp.asarray(10.0 ** rng.uniform(-6, 6, spec.m_i))
+    sigma = z / s
+    delta = 1e-8
+    kkt_obj = AcKktBbd(spec, n_blocks=4)
+    rhs_x = rng.standard_normal(spec.n_x)
+    rhs_e = rng.standard_normal(spec.m_e)
+
+    dx64, v64, lin_res64, _ = jax.jit(kkt_obj.solve_f64)(
+        x, y, z, sigma, delta, jnp.asarray(rhs_x), jnp.asarray(rhs_e), pk)
+    _, _, lin_res32, _ = jax.jit(kkt_obj.solve)(
+        x, y, z, sigma, delta, jnp.asarray(rhs_x), jnp.asarray(rhs_e), pk)
+
+    dense = _dense_kkt(spec, x, y, z, sigma, delta, pk)
+    sol = np.linalg.solve(dense, np.concatenate([rhs_x, rhs_e]))
+    scale = max(1.0, np.max(np.abs(sol)))
+    assert float(lin_res64) < 1e-9
+    assert np.max(np.abs(np.asarray(dx64) - sol[:spec.n_x])) \
+        < 1e-6 * scale
+    assert np.max(np.abs(np.asarray(v64) - sol[spec.n_x:])) \
+        < 1e-6 * scale
+    # the f64 path must be at least as good as f32 on this conditioning
+    assert float(lin_res64) <= max(float(lin_res32), 1e-9)
+
+
 @pytest.mark.parametrize("case", ["case14test", "case118"])
 def test_kkt_row_maxes_match_dense(data_path, case):
     spec, x, y, z, s, pk = _spec_and_state(data_path, case, seed=3)

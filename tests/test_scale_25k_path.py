@@ -24,9 +24,19 @@ def test_nr_bbd_laxmap_lu_parity(data_path, monkeypatch):
     power_flow(pf)
 
     monkeypatch.setattr(linalg_mod, "_BATCH_LU_VMEM_ROWS", 10)
+    # the solve is a module-level jitted function: if an earlier test
+    # already compiled these shapes, the cached (vmap-branch) executable
+    # would be silently reused and the patched threshold never consulted —
+    # clear the cache and prove via the trace counter that the sequential
+    # lax.map branch was actually compiled (round-4 advisor item)
+    from juliagrid_tpu.powerflow import newton_bbd
+    newton_bbd._nr_bbd_solve.clear_cache()
+    traces0 = linalg_mod._seq_lu_traces
     system2 = jg.power_system(str(data_path / "case118.m"))
     bbd = newton_raphson_bbd(system2, n_blocks=4)
     power_flow_bbd(bbd)
+    assert linalg_mod._seq_lu_traces > traces0, \
+        "sequential-LU lax.map branch was not traced"
     assert bbd.method.converged
     assert bbd.method.iteration == pf.method.iteration
     assert np.max(np.abs(bbd.voltage.magnitude
@@ -38,9 +48,13 @@ def test_synthetic_lattice_bbd_laxmap(monkeypatch):
     """Lattice + EHV backbone (the 25k generator's exact shape, small),
     solved on the sequential-LU path, estimator-reproduces-PF asserted."""
     monkeypatch.setattr(linalg_mod, "_BATCH_LU_VMEM_ROWS", 10)
+    from juliagrid_tpu.powerflow import newton_bbd
+    newton_bbd._nr_bbd_solve.clear_cache()
+    traces0 = linalg_mod._seq_lu_traces
     system = synthetic_grid(12, 12)
     pf = newton_raphson_bbd(system, n_blocks=4)
     power_flow_bbd(pf)
+    assert linalg_mod._seq_lu_traces > traces0
     assert pf.method.converged
 
     system2 = synthetic_grid(12, 12)
