@@ -584,20 +584,25 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
     """One Gauss-Newton increment (reference increment!, :878-931).
 
     Normal-equations path: the gain H'WH is formed AND factorized in f32
-    on the MXU; refinement residuals use the f64 OPERATOR (two O(m·n)
-    matvecs per sweep), so the O(m·n²) f64 gain matmul — software-emulated
-    on TPU, ~10-15x slower than the MXU and the dominant FLOPs of every
-    fleet iteration — never happens. Accuracy is governed by the same
-    cond(gain)·eps32 < 1 criterion as before (the f32 factor quality is
-    unchanged); the operator residual is bitwise-closer to the true
-    normal equations than a residual against an f64-formed gain."""
+    on the MXU, with ``Precision.HIGHEST`` on the gain matmul — the TPU's
+    DEFAULT matmul precision truncates f32 inputs to bf16 (8 mantissa
+    bits), and with measurement weights spanning 1e4..1e8 a bf16-grade
+    gain leaves the refinement gate permanently tripped at pegase scale
+    (the round-4 "0/64 converged" config5b finding; the same code
+    converged to 1e-14 on CPU where f32 matmul is true f32). The dense
+    f64 H is never materialized on this path: the Jacobian lives as its
+    O(nnz) entry list, the f32 scatter feeds the MXU gain, and the f64
+    refinement residuals ride sparse segment-sum matvecs — at pegase
+    scale this cuts the per-scenario HBM footprint ~4x (the chunk-cap
+    lever of the batched Monte-Carlo SE) and removes every O(m·n)
+    software-emulated f64 matmul from the iteration."""
     n = vm.shape[0]
-    H, h = build_h(arr, net, vm, va)
-    r = arr.mean - h
-    col_mask = jnp.ones(2 * n, dtype=vm.dtype).at[arr.slack].set(0.0)
-    Hm = H * col_mask[None, :]
 
     if kind in (linalg.QR, linalg.PW):
+        H, h = build_h(arr, net, vm, va)
+        r = arr.mean - h
+        col_mask = jnp.ones(2 * n, dtype=vm.dtype).at[arr.slack].set(0.0)
+        Hm = H * col_mask[None, :]
         # square-root methods on W^1/2 H (diagonal weights only):
         # Orthogonal (QR) or Peters-Wilkinson (tall LU + L-normal eqs)
         sw = jnp.sqrt(arr.w)[:, None]
@@ -611,47 +616,78 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
         else:
             dx = linalg.solve(linalg.factorize(A, linalg.QR), b)
         rel = jnp.asarray(0.0, dtype=vm.dtype)  # square-root path: no gate
-    else:
-        WH, wr = _weighted(arr, Hm, r)
-        rhs = Hm.T @ wr                      # O(m·n) f64 — cheap
-        reg = 1.0 - col_mask                 # slack-column identity
-        h32 = Hm.astype(jnp.float32)
-        wh32 = WH.astype(jnp.float32)
-        g32 = h32.T @ wh32 + jnp.diag(reg.astype(jnp.float32))
-        lu, piv = jsl.lu_factor(g32)
+        dx = dx * jnp.ones(2 * n).at[arr.slack].set(0.0)
+        return dx, jnp.max(jnp.abs(dx)), rel
 
-        def op(xv):
-            return Hm.T @ _w_apply_vec(arr, Hm @ xv) + reg * xv
+    m = arr.mean.shape[0]
+    vals, h = h_entries(arr, net, vm, va)
+    ent_rows, ent_cols = h_entry_pattern(arr, net, n, xp=jnp)
+    col_mask = jnp.ones(2 * n, dtype=vm.dtype).at[arr.slack].set(0.0)
+    # status rows + slack column masks applied in ENTRY space — identical
+    # to masking the scattered dense H (build_h) row/column-wise
+    vals = vals * arr.status[ent_rows] * col_mask[ent_cols]
+    r = arr.mean - h
 
-        dx = jsl.lu_solve((lu, piv),
-                          rhs.astype(jnp.float32)).astype(rhs.dtype)
+    def hmat(xv):          # H @ xv, f64, O(nnz)
+        return jax.ops.segment_sum(vals * xv[ent_cols], ent_rows,
+                                   num_segments=m)
 
-        # residual-gated refinement: sweep (two O(m·n) f64 GEMVs each)
-        # until the operator residual of the normal equations is tiny or
-        # the sweep cap is hit. Well-conditioned gains exit after the same
-        # 2 sweeps as the old fixed count (zero-noise reproduction stays
-        # ≤1e-10, tests/test_estimation.py); an ill-conditioned gain
-        # (cond ≳ 1e7, where the f32 factor stops contracting) keeps the
-        # residual high, the loop stops making progress, and the returned
-        # ``rel`` lets the driver escalate to the QR path instead of
-        # silently degrading the increment.
-        rhs_norm = jnp.linalg.norm(rhs) + 1e-300
+    def hmat_t(v):         # Hᵀ @ v, f64, O(nnz)
+        return jax.ops.segment_sum(vals * v[ent_rows], ent_cols,
+                                   num_segments=2 * n)
 
-        def sweep_cond(c):
-            _, rel, prev, k = c
-            return (rel > 1e-13) & (rel < 0.5 * prev) & (k < 8)
+    wr = _w_apply_vec(arr, r)
+    rhs = hmat_t(wr)
+    reg = 1.0 - col_mask                 # slack-column identity
 
-        def sweep(c):
-            xv, rel, _, k = c
-            res = rhs - op(xv)
-            d = jsl.lu_solve((lu, piv), res.astype(jnp.float32))
-            return (xv + d.astype(rhs.dtype),
-                    jnp.linalg.norm(res) / rhs_norm, rel, k + 1)
+    hi = jax.lax.Precision.HIGHEST
+    h32 = jnp.zeros((m, 2 * n), dtype=jnp.float32).at[
+        ent_rows, ent_cols].add(vals.astype(jnp.float32))
+    hw32 = jnp.sqrt(arr.w).astype(jnp.float32)[:, None] * h32
+    g32 = jnp.matmul(hw32.T, hw32, precision=hi)
+    if arr.pair_r1.shape[0]:
+        # correlated PMU 2x2 blocks: W = D + P with P carrying the pair
+        # off-diagonals; HᵀPH is a thin outer-product correction
+        po32 = arr.pair_off.astype(jnp.float32)
+        h1 = h32[arr.pair_r1] * po32[:, None]
+        h2 = h32[arr.pair_r2]
+        g32 = g32 + jnp.matmul(h1.T, h2, precision=hi) \
+            + jnp.matmul(h2.T, h1, precision=hi)
+    g32 = g32 + jnp.diag(reg.astype(jnp.float32))
+    lu, piv = jsl.lu_factor(g32)
 
-        # always take the first sweep (matches the old fixed-2 minimum)
-        dx, rel, _, _ = sweep((dx, jnp.inf, jnp.inf, 0))
-        dx, rel, _, _ = jax.lax.while_loop(
-            sweep_cond, sweep, (dx, rel, jnp.inf, 1))
+    def op(xv):
+        return hmat_t(_w_apply_vec(arr, hmat(xv))) + reg * xv
+
+    dx = jsl.lu_solve((lu, piv),
+                      rhs.astype(jnp.float32)).astype(rhs.dtype)
+
+    # residual-gated refinement: sweep (two O(nnz) f64 sparse matvecs
+    # each) until the operator residual of the normal equations is tiny
+    # or the sweep cap is hit. Well-conditioned gains exit after the same
+    # 2 sweeps as the old fixed count (zero-noise reproduction stays
+    # ≤1e-10, tests/test_estimation.py); an ill-conditioned gain
+    # (cond ≳ 1e7, where the f32 factor stops contracting) keeps the
+    # residual high, the loop stops making progress, and the returned
+    # ``rel`` lets the driver escalate to the QR path instead of
+    # silently degrading the increment.
+    rhs_norm = jnp.linalg.norm(rhs) + 1e-300
+
+    def sweep_cond(c):
+        _, rel, prev, k = c
+        return (rel > 1e-13) & (rel < 0.5 * prev) & (k < 8)
+
+    def sweep(c):
+        xv, rel, _, k = c
+        res = rhs - op(xv)
+        d = jsl.lu_solve((lu, piv), res.astype(jnp.float32))
+        return (xv + d.astype(rhs.dtype),
+                jnp.linalg.norm(res) / rhs_norm, rel, k + 1)
+
+    # always take the first sweep (matches the old fixed-2 minimum)
+    dx, rel, _, _ = sweep((dx, jnp.inf, jnp.inf, 0))
+    dx, rel, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep, (dx, rel, jnp.inf, 1))
     dx = dx * col_mask
     return dx, jnp.max(jnp.abs(dx)), rel
 

@@ -14,7 +14,9 @@ confidence with the reference's per-analysis degrees-of-freedom rules.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.stats
@@ -159,6 +161,132 @@ def residual_test(analysis, threshold: float = 3.0,
         else:
             bad.label = getattr(monitoring, kind).label.label(dev)
     return bad
+
+
+@partial(jax.jit, static_argnames=("max_remove", "max_iter"))
+def _lnr_fused(arr, net, vm0, va0, row_group, threshold, tol,
+               max_remove: int, max_iter: int):
+    """Device-side LNR loop: solve -> normalized residuals -> deactivate
+    the worst device's rows -> re-solve, as ONE jitted nested while_loop.
+
+    The host-driven loop (residual_test + state_estimation per removal)
+    pays hundreds of ~25 ms tunnel dispatches plus a dense readback per
+    round; fused, the whole detect-remove-resolve cycle is a single
+    device program over the live row-status vector (the value-patch
+    semantics of measurement deactivation, acse.py:157-169). Returns
+    (vm, va, removed_rows[max_remove] (-1 padded), n_removed,
+    last_max_rn)."""
+    from .acse import build_h, gn_increment
+    from ..ops import linalg as _lin
+
+    n = vm0.shape[0]
+    col_mask = jnp.ones(2 * n).at[arr.slack].set(0.0)
+
+    def solve(status, vm, va):
+        a = arr._replace(status=status)
+        dx, maxinc, _ = gn_increment(a, net, vm, va, _lin.LU)
+
+        def cond(c):
+            _, _, _, mi, it = c
+            return (mi >= tol) & (it < max_iter)
+
+        def body(c):
+            vm, va, dx, _, it = c
+            va = va + dx[:n]
+            vm = vm + dx[n:]
+            dx, mi, _ = gn_increment(a, net, vm, va, _lin.LU)
+            return vm, va, dx, mi, it + 1
+
+        vm, va, _, _, _ = jax.lax.while_loop(
+            cond, body, (vm, va, dx, maxinc, jnp.int64(0)))
+        return vm, va
+
+    def detect(status, vm, va):
+        a = arr._replace(status=status)
+        H, h = build_h(a, net, vm, va)
+        Hm = H * col_mask[None, :]
+        r = (a.mean - h) * status
+        gain = Hm.T @ (a.w[:, None] * Hm) + jnp.diag(1.0 - col_mask)
+        x = _lin.solve(_lin.factorize(gain, _lin.LU), Hm.T)
+        c = jnp.sum(Hm * x.T, axis=1)
+        denom = jnp.sqrt(jnp.abs(1.0 / a.w - c))
+        rn = jnp.where((r != 0.0) & (status > 0.0),
+                       jnp.abs(r) / jnp.maximum(denom, 1e-30), 0.0)
+        idx = jnp.argmax(rn)
+        return idx, rn[idx]
+
+    def cond(carry):
+        return carry[-1]
+
+    def body(carry):
+        status, vm, va, removed, k, rn_last, _ = carry
+        vm, va = solve(status, vm, va)
+        idx, rn_max = detect(status, vm, va)
+        det = rn_max > threshold
+        status = jnp.where(det, status * (row_group != row_group[idx]),
+                           status)
+        removed = removed.at[k].set(jnp.where(det, idx, -1))
+        k = k + det.astype(jnp.int64)
+        return (status, vm, va, removed, k, rn_max,
+                det & (k < max_remove))
+
+    removed0 = jnp.full(max_remove, -1, dtype=jnp.int64)
+    carry = (arr.status, vm0, va0, removed0, jnp.int64(0),
+             jnp.asarray(jnp.inf), jnp.asarray(True))
+    status, vm, va, removed, k, rn_last, _ = jax.lax.while_loop(
+        cond, body, carry)
+    # if the loop exited on the removal cap, the final set is unsolved —
+    # one more (cheap, already-converged otherwise) solve leaves the
+    # state consistent with the surviving measurement set
+    vm, va = solve(status, vm, va)
+    return vm, va, removed, k, rn_last
+
+
+def lnr_removal(analysis, threshold: float = 3.0, max_remove: int = 10,
+                tolerance: float = 1e-8, max_iter: int = 40):
+    """Fused largest-normalized-residual correction for AC WLS SE.
+
+    Equivalent to the reference usage pattern of calling
+    ``residualTest!`` + ``stateEstimation!`` in a loop
+    (badData.jl:48-285) until no outlier remains, but executed as one
+    device program (see _lnr_fused). Deactivates the flagged devices in
+    the monitoring set, leaves ``analysis`` solved on the surviving
+    rows, and returns the list of removed device labels."""
+    from .acse import AcStateEstimation
+
+    if not isinstance(analysis, AcStateEstimation):
+        raise TypeError("lnr_removal supports AC WLS state estimation")
+    analysis._refresh_arrays()
+    arr = analysis.arrays
+    # rows of the same physical device share a group id so a detection
+    # removes the whole device (both PMU rows), matching _deactivate
+    groups = {}
+    row_group = np.empty(len(analysis.method.row_device), dtype=np.int64)
+    for i, kd in enumerate(analysis.method.row_device):
+        row_group[i] = groups.setdefault(kd, len(groups))
+    n = analysis.system.bus.number
+    vm0 = jnp.asarray(np.asarray(analysis.voltage.magnitude,
+                                 dtype=float)[:n])
+    va0 = jnp.asarray(np.asarray(analysis.voltage.angle,
+                                 dtype=float)[:n])
+    vm, va, removed, k, _ = _lnr_fused(
+        arr, analysis.net, vm0, va0, jnp.asarray(row_group),
+        jnp.asarray(float(threshold)), jnp.asarray(float(tolerance)),
+        max_remove, max_iter)
+    removed = np.asarray(removed)[:int(k)]
+    labels = []
+    for row in removed:
+        kind, dev = analysis.method.row_device[int(row)]
+        labels.append(_deactivate_raw(analysis.monitoring, kind, dev))
+    if labels:
+        analysis.monitoring.changed_values()
+        # the device loop already solved on the surviving set; absorb the
+        # revision bump so the next _refresh_arrays keeps this snapshot
+        analysis._refresh_arrays()
+    analysis.voltage.magnitude = np.asarray(vm)
+    analysis.voltage.angle = np.asarray(va)
+    analysis.method.converged = True
+    return labels
 
 
 def chi_test(analysis, confidence: float = 0.95) -> ChiTest:

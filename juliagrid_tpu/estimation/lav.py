@@ -15,6 +15,8 @@ the reference's status handling.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +54,66 @@ def ac_lav_state_estimation(monitoring) -> AcStateEstimation:
     )
 
 
+@lru_cache(maxsize=32)
+def _ac_lav_fns(n: int, m_act: int):
+    """AC LAV problem functions for a given (bus count, active rows)
+    shape, params-threaded so repeated solves hit solve_nlp's engine
+    cache (the round-4 118-bus LAV paid its full compile/trace budget on
+    EVERY solve because these were per-call closures).
+
+    Analytic derivatives: the LAV equality Jacobian is [H(x), I, -I]
+    (+ the slack-anchor row) with H already computed by build_h —
+    autodiff over the 2n+2m variables is pure waste, and its eager
+    tangent basis OOM'd the 16 GB chip at 118 buses (bench round 3)."""
+    n_x = 2 * n + 2 * m_act
+    rng_m = jnp.arange(m_act)
+
+    def split(xx):
+        return xx[:2 * n], xx[2 * n:2 * n + m_act], xx[2 * n + m_act:]
+
+    def objective(xx, p):
+        _, u, v = split(xx)
+        return jnp.sum(u) + jnp.sum(v)
+
+    def eq(xx, p):
+        state, u, v = split(xx)
+        va, vm = state[:n], state[n:]
+        _, h = build_h(p["arr"], p["net"], vm, va)
+        resid = h[p["act"]] + u - v - p["z"]
+        return jnp.concatenate(
+            [resid, (state[p["slack"]] - p["anchor"])[None]])
+
+    def ineq(xx, p):
+        _, u, v = split(xx)
+        return jnp.concatenate([u, v])
+
+    def jac_eq(xx, p):
+        state = xx[:2 * n]
+        H, _ = build_h(p["arr"], p["net"], state[n:], state[:n])
+        J = jnp.zeros((m_act + 1, n_x))
+        J = J.at[:m_act, :2 * n].set(H[p["act"]])
+        J = J.at[rng_m, 2 * n + rng_m].set(1.0)
+        J = J.at[rng_m, 2 * n + m_act + rng_m].set(-1.0)
+        return J.at[m_act, p["slack"]].set(1.0)
+
+    def jac_ineq(xx, p):
+        return jnp.zeros((2 * m_act, n_x)).at[
+            jnp.arange(2 * m_act), 2 * n + jnp.arange(2 * m_act)].set(1.0)
+
+    def hess(xx, y_raw, z_raw, p):
+        # linear objective: ∇²L = -Σ yᵢ ∇²hᵢ(state), state block only
+        ye = y_raw[:m_act]
+
+        def weighted_h(state):
+            _, h = build_h(p["arr"], p["net"], state[n:], state[:n])
+            return -jnp.dot(ye, h[p["act"]])
+
+        hss = jax.hessian(weighted_h)(xx[:2 * n])
+        return jnp.zeros((n_x, n_x)).at[:2 * n, :2 * n].set(hss)
+
+    return objective, eq, ineq, jac_eq, jac_ineq, hess
+
+
 def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
               power: bool = False, current: bool = False,
               tolerance: float = 1e-8):
@@ -67,58 +129,10 @@ def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
     slack = int(np.asarray(arr.slack))
     act = jnp.asarray(active)
 
-    def split(xx):
-        return xx[:2 * n], xx[2 * n:2 * n + m_act], xx[2 * n + m_act:]
-
-    def objective(xx):
-        _, u, v = split(xx)
-        return jnp.sum(u) + jnp.sum(v)
-
-    def eq(xx):
-        state, u, v = split(xx)
-        va, vm = state[:n], state[n:]
-        _, h = build_h(arr, net, vm, va)
-        resid = h[act] + u - v - jnp.asarray(z)
-        return jnp.concatenate(
-            [resid, jnp.array([state[slack]
-                               - analysis.voltage.angle[slack]])])
-
-    def ineq(xx):
-        _, u, v = split(xx)
-        return jnp.concatenate([u, v])
-
-    # analytic derivatives: the LAV equality Jacobian is [H(x), I, -I]
-    # (+ the slack-anchor row) with H already computed by build_h —
-    # autodiff over the 2n+2m variables is pure waste, and its eager
-    # tangent basis OOM'd the 16 GB chip at 118 buses (bench round 3)
-    n_x = 2 * n + 2 * m_act
-    rng_m = jnp.arange(m_act)
-
-    def jac_eq(xx):
-        state = xx[:2 * n]
-        H, _ = build_h(arr, net, state[n:], state[:n])
-        J = jnp.zeros((m_act + 1, n_x))
-        J = J.at[:m_act, :2 * n].set(H[act])
-        J = J.at[rng_m, 2 * n + rng_m].set(1.0)
-        J = J.at[rng_m, 2 * n + m_act + rng_m].set(-1.0)
-        return J.at[m_act, slack].set(1.0)
-
-    ji_const = jnp.zeros((2 * m_act, n_x)).at[
-        jnp.arange(2 * m_act), 2 * n + jnp.arange(2 * m_act)].set(1.0)
-
-    def jac_ineq(xx):
-        return ji_const
-
-    def hess(xx, y_raw, z_raw):
-        # linear objective: ∇²L = -Σ yᵢ ∇²hᵢ(state), state block only
-        ye = y_raw[:m_act]
-
-        def weighted_h(state):
-            _, h = build_h(arr, net, state[n:], state[:n])
-            return -jnp.dot(ye, h[act])
-
-        hss = jax.hessian(weighted_h)(xx[:2 * n])
-        return jnp.zeros((n_x, n_x)).at[:2 * n, :2 * n].set(hss)
+    objective, eq, ineq, jac_eq, jac_ineq, hess = _ac_lav_fns(n, m_act)
+    pl = {"arr": arr, "net": net, "z": jnp.asarray(z), "act": act,
+          "slack": jnp.asarray(slack),
+          "anchor": jnp.asarray(float(analysis.voltage.angle[slack]))}
 
     vm0 = np.asarray(analysis.voltage.magnitude)
     va0 = np.asarray(analysis.voltage.angle)
@@ -128,8 +142,8 @@ def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
                          np.maximum(-r0, 0) + 1e-3])
 
     res = solve_nlp(NlpProblem(objective, eq, ineq, jac_eq=jac_eq,
-                               jac_ineq=jac_ineq, hess=hess), x0,
-                    max_iter=iteration, tol=tolerance)
+                               jac_ineq=jac_ineq, hess=hess, params=pl),
+                    x0, max_iter=iteration, tol=tolerance)
     analysis.voltage.angle = res.x[:n]
     analysis.voltage.magnitude = res.x[n:2 * n]
     analysis.method.iteration = res.iterations

@@ -249,6 +249,32 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
             err = jnp.maximum(err, jnp.max(jnp.abs(s * z - mu)) / s_c)
         return err
 
+    # E_mu at a whole LADDER of barrier values in one device call: the
+    # host loop's Fiacco-McCormick mu walk previously paid one ~25 ms
+    # tunnel round trip per candidate mu per iteration
+    kkt_error_multi = jax.jit(jax.vmap(
+        kkt_error, in_axes=(None, None, None, None, 0, None)))
+
+    @jax.jit
+    def metrics_p(x, s, mu, p):
+        """metrics with the scalars packed into one array (single
+        readback): [fval, theta, phi, max(ri)]."""
+        fval, theta, phi, ce, ri = metrics(x, s, mu, p)
+        max_ri = jnp.max(ri) if m_i else jnp.asarray(0.0)
+        return jnp.stack([fval, theta, phi, max_ri]), ce, ri
+
+    @jax.jit
+    def ls_probe(x, s, mu, dx_t, ds_t, alphas, p):
+        """(theta, phi) at EVERY backtracking trial point in one call —
+        the filter line search walks the results host-side without
+        further dispatches."""
+        def one(a):
+            x_t = x + a * dx_t
+            s_t = jnp.maximum(s + a * ds_t, 1e-300) if m_i else s
+            _, theta, phi, _, _ = metrics(x_t, s_t, mu, p)
+            return theta, phi
+        return jax.vmap(one)(alphas)
+
     @jax.jit
     def kkt_components(x, y, z, s, mu, p):
         """Diagnostic split of E_mu: (scaled dual residual, worst
@@ -359,7 +385,13 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
             alpha_z = jnp.asarray(1.0)
             dphi = g @ dx
 
-        return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
+        # scalar diagnostics packed into ONE array: the host loop reads
+        # them with a single device->host transfer per step (each float()
+        # readback through the TPU tunnel costs a ~25 ms round trip)
+        stats = jnp.stack([
+            alpha_s, alpha_z, lin_res, curv, dphi, dx @ dx,
+            jnp.all(jnp.isfinite(dx)).astype(dx.dtype)])
+        return dx, dy, ds, dz, stats
 
     step = _make_step(
         lambda kkt_s, rhs_s: linalg.solve(
@@ -412,7 +444,10 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
                 alpha_s = jnp.asarray(1.0)
                 alpha_z = jnp.asarray(1.0)
                 dphi = g @ dx
-            return dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi
+            stats = jnp.stack([
+                alpha_s, alpha_z, lin_res, curv, dphi, dx @ dx,
+                jnp.all(jnp.isfinite(dx)).astype(dx.dtype)])
+            return dx, dy, ds, dz, stats
 
         step = jax.jit(partial(_bbd_step_body, kkt_obj.solve))  # noqa: F811
         step_f64 = jax.jit(partial(_bbd_step_body, kkt_obj.solve_f64))
@@ -440,7 +475,8 @@ def _make_fns(f, c_e, c_i, n_x: int, m_e: int, m_i: int,
         return dx, 0.5 * (r @ r)
 
     return step, step_f64, kkt_error, metrics, resto_step, \
-        (c_e, c_i, grad_f, jac_e, jac_i, kkt_components)
+        (c_e, c_i, grad_f, jac_e, jac_i, kkt_components,
+         kkt_error_multi, metrics_p, ls_probe)
 
 
 def _filter_accepts(filt, theta, phi):
@@ -448,6 +484,142 @@ def _filter_accepts(filt, theta, phi):
         if theta >= th_f and phi >= ph_f:
             return False
     return True
+
+
+class _Engine:
+    """Every traced/jitted function one NlpProblem solve needs.
+
+    Built once per problem STRUCTURE and cached (LRU below) keyed on the
+    identity of the user callables + shapes: a re-solve with the same
+    functions (live edits through the params pytree, warm re-runs of the
+    same analysis shape, the bench's measure-after-warmup pattern) reuses
+    every compiled executable instead of re-tracing ~10 graphs and
+    re-loading their binaries through the TPU tunnel — measured as the
+    dominant share of the round-4 118-bus LAV wall (48 s for a 9-iteration
+    solve)."""
+
+    def __init__(self, problem: "NlpProblem", n_x: int, m_e: int,
+                 m_i: int):
+        if problem.params is not None:
+            f_raw = problem.objective
+            eq_raw, ineq_raw = problem.eq, problem.ineq
+            je_raw, ji_raw = problem.jac_eq, problem.jac_ineq
+            hess_raw = problem.hess
+        else:
+            obj0, eq0, in0 = problem.objective, problem.eq, problem.ineq
+            je0, ji0, h0 = problem.jac_eq, problem.jac_ineq, problem.hess
+            f_raw = lambda xx, pp: obj0(xx)  # noqa: E731
+            eq_raw = (lambda xx, pp: eq0(xx)) if eq0 else None
+            ineq_raw = (lambda xx, pp: in0(xx)) if in0 else None
+            je_raw = (lambda xx, pp: je0(xx)) if je0 else None
+            ji_raw = (lambda xx, pp: ji0(xx)) if ji0 else None
+            hess_raw = (lambda xx, yy, zz, pp: h0(xx, yy, zz)) \
+                if h0 else None
+        self.f_raw = f_raw
+        self.eq_raw, self.ineq_raw = eq_raw, ineq_raw
+        self.m_e, self.m_i, self.n_x = m_e, m_i, n_x
+
+        f = lambda xx, pp: pp["sf"] * f_raw(xx, pp["p"])  # noqa: E731
+        c_e_fn = (lambda xx, pp: pp["ge"] * eq_raw(xx, pp["p"])) if m_e \
+            else None
+        c_i_fn = (lambda xx, pp: pp["gi"] * ineq_raw(xx, pp["p"])) \
+            if m_i else None
+        # analytic derivatives get the same row scaling as the constraints
+        jac_e_fn = (lambda xx, pp: pp["ge"][:, None]
+                    * je_raw(xx, pp["p"])) \
+            if (m_e and je_raw is not None) else None
+        jac_i_fn = (lambda xx, pp: pp["gi"][:, None]
+                    * ji_raw(xx, pp["p"])) \
+            if (m_i and ji_raw is not None) else None
+        # hess convention: the user callable computes the RAW Lagrangian
+        # Hessian  ∇²f_raw - Σ ŷ_i ∇²c_E,i - Σ ẑ_j ∇²c_I,j  with duals
+        # mapped into raw-constraint space; the wrapper rescales the whole
+        # thing by sf so it equals the Hessian of the scaled Lagrangian
+        hess_fn = (lambda xx, yy, zz, pp: pp["sf"] * hess_raw(
+            xx, (pp["ge"] * yy / pp["sf"]) if m_e else yy,
+            (pp["gi"] * zz / pp["sf"]) if m_i else zz, pp["p"])) \
+            if hess_raw is not None else None
+
+        (self.step, self.step_f64, self.kkt_error, self.metrics,
+         self.resto_step,
+         (self.c_e, self.c_i, self.grad_f, self.jac_e, self.jac_i,
+          self.kkt_components, self.kkt_error_multi, self.metrics_p,
+          self.ls_probe)) = _make_fns(
+            f, c_e_fn, c_i_fn, n_x, m_e, m_i,
+            jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn,
+            kkt_obj=problem.kkt)
+
+        # jitted wrappers for every host-loop evaluation: an eager
+        # constraint or Jacobian evaluation is hundreds of op-by-op
+        # dispatches through the TPU tunnel (~20 ms each)
+        self.f_j = jax.jit(f)
+        self.c_e_j = jax.jit(self.c_e)
+        self.c_i_j = jax.jit(self.c_i)
+        self.grad_f_j = jax.jit(self.grad_f)
+        self.jac_e_j = jax.jit(self.jac_e)
+        self.jac_i_j = jax.jit(self.jac_i)
+        self.grad_f_jvp_j = jax.jit(lambda xx, dd, pp: jax.jvp(
+            lambda xv: self.grad_f(xv, pp), (xx,), (dd,))[1])
+        # gradient-based scaling inputs (RAW p, not the pk pytree)
+        self.grad_max_j = jax.jit(lambda xx, pp: jnp.max(jnp.abs(
+            jax.grad(f_raw)(xx, pp))))
+        if problem.kkt is not None:
+            self.kkt_row_maxes_j = jax.jit(problem.kkt.row_maxes)
+        else:
+            self.kkt_row_maxes_j = None
+            self.row_max_e_j = self._row_max(eq_raw, je_raw) if m_e \
+                else None
+            self.row_max_i_j = self._row_max(ineq_raw, ji_raw) if m_i \
+                else None
+
+        c_e, c_i = self.c_e, self.c_i
+
+        @jax.jit
+        def theta_of_dev(xx, pp):
+            t = jnp.asarray(0.0)
+            if m_e:
+                t += jnp.sum(jnp.abs(c_e(xx, pp)))
+            if m_i:
+                t += jnp.sum(jnp.abs(jnp.minimum(c_i(xx, pp), 0.0)))
+            return t
+
+        self.theta_of_dev = theta_of_dev
+
+    def _row_max(self, fn_raw, jac_raw):
+        """Jitted per-row max|J| at x0 for gradient-based scaling. The
+        row-max reduction happens ON DEVICE (one small (m,) readback);
+        large problems use the chunked tangent basis — an eager full
+        jax.jacfwd here materialized n_x copies of the constraint graph
+        and RESOURCE_EXHAUSTED'd the 16 GB chip on the 118-bus LAV
+        (round-3 bench)."""
+        if jac_raw is not None:
+            jac = jac_raw
+        elif self.n_x > _CHUNK_THRESHOLD:
+            jac = _chunked_jacfwd(fn_raw, self.n_x)
+        else:
+            jac = jax.jacfwd(fn_raw)
+        return jax.jit(
+            lambda xx, pp: jnp.max(jnp.abs(jac(xx, pp)), axis=1))
+
+
+_ENGINES: "dict" = {}
+_ENGINE_CAP = 8
+
+
+def _get_engine(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
+    key = (problem.objective, problem.eq, problem.ineq, problem.jac_eq,
+           problem.jac_ineq, problem.hess, problem.kkt,
+           problem.params is not None, n_x, m_e, m_i)
+    try:
+        eng = _ENGINES.pop(key, None)
+    except TypeError:          # unhashable callable: build uncached
+        return _Engine(problem, n_x, m_e, m_i)
+    if eng is None:
+        eng = _Engine(problem, n_x, m_e, m_i)
+    _ENGINES[key] = eng        # re-insert = most-recently-used
+    while len(_ENGINES) > _ENGINE_CAP:
+        _ENGINES.pop(next(iter(_ENGINES)))
+    return eng
 
 
 def solve_nlp(problem: NlpProblem, x0: np.ndarray,
@@ -471,30 +643,34 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     import time as _time
     x = jnp.asarray(np.asarray(x0, dtype=np.float64))
     n_x = x.shape[0]
-    if problem.params is not None:
-        p = problem.params
-        f_raw = problem.objective
-        eq_raw, ineq_raw = problem.eq, problem.ineq
-        je_raw, ji_raw = problem.jac_eq, problem.jac_ineq
-        hess_raw = problem.hess
-    else:
-        p = ()
-        f_raw = lambda xx, pp: problem.objective(xx)  # noqa: E731
-        eq_raw = (lambda xx, pp: problem.eq(xx)) if problem.eq else None
-        ineq_raw = (lambda xx, pp: problem.ineq(xx)) if problem.ineq \
-            else None
-        je_raw = (lambda xx, pp: problem.jac_eq(xx)) if problem.jac_eq \
-            else None
-        ji_raw = (lambda xx, pp: problem.jac_ineq(xx)) \
-            if problem.jac_ineq else None
-        hess_raw = (lambda xx, yy, zz, pp: problem.hess(xx, yy, zz)) \
-            if problem.hess else None
+    p = problem.params if problem.params is not None else ()
     # row counts via eval_shape: NO device execution — an eager eq/ineq
     # evaluation here runs hundreds of op-by-op dispatches plus a
     # readback through the TPU tunnel (minutes at pegase scale) just to
     # learn a static shape
-    m_e = int(jax.eval_shape(eq_raw, x, p).shape[0]) if eq_raw else 0
-    m_i = int(jax.eval_shape(ineq_raw, x, p).shape[0]) if ineq_raw else 0
+    if problem.params is not None:
+        m_e = int(jax.eval_shape(problem.eq, x, p).shape[0]) \
+            if problem.eq else 0
+        m_i = int(jax.eval_shape(problem.ineq, x, p).shape[0]) \
+            if problem.ineq else 0
+    else:
+        m_e = int(jax.eval_shape(problem.eq, x).shape[0]) \
+            if problem.eq else 0
+        m_i = int(jax.eval_shape(problem.ineq, x).shape[0]) \
+            if problem.ineq else 0
+
+    # every traced/jitted function, cached across solves of the same
+    # problem structure (see _Engine)
+    eng = _get_engine(problem, n_x, m_e, m_i)
+    step, step_f64 = eng.step, eng.step_f64
+    kkt_error, metrics, resto_step = (eng.kkt_error, eng.metrics,
+                                      eng.resto_step)
+    kkt_error_multi, metrics_p, ls_probe = (eng.kkt_error_multi,
+                                            eng.metrics_p, eng.ls_probe)
+    kkt_components = eng.kkt_components
+    f_j, c_e_j, c_i_j = eng.f_j, eng.c_e_j, eng.c_i_j
+    grad_f_j, jac_e_j, jac_i_j = eng.grad_f_j, eng.jac_e_j, eng.jac_i_j
+    grad_f_jvp_j = eng.grad_f_jvp_j
 
     # Ipopt-style gradient-based scaling (their nlp_scaling_method =
     # "gradient-based"): keep max|∇f| near 100 so currency-unit cost
@@ -502,32 +678,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # constraint row the same way — epigraph cuts and balance rows with
     # cost-unit coefficients otherwise leave the dual residual O(1e4) and
     # the barrier parameter permanently gated.
-    gmax = float(jax.jit(lambda xx, pp: jnp.max(jnp.abs(
-        jax.grad(f_raw)(xx, pp))))(x, p)) if n_x else 1.0
+    gmax = float(eng.grad_max_j(x, p)) if n_x else 1.0
     scale_f = min(1.0, 100.0 / gmax) if gmax > 0 else 1.0
-
-    def _jac_row_max(fn_raw, jac_raw):
-        """Per-row max|J| at x0 for gradient-based scaling. The row-max
-        reduction happens ON DEVICE (one small (m,) readback through the
-        tunnel), and large problems use the chunked tangent basis — an
-        eager full jax.jacfwd here materialized n_x copies of the
-        constraint graph and RESOURCE_EXHAUSTED'd the 16 GB chip on the
-        118-bus LAV (round-3 bench)."""
-        if jac_raw is not None:
-            jac = jac_raw
-        elif n_x > _CHUNK_THRESHOLD:
-            jac = _chunked_jacfwd(fn_raw, n_x)
-        else:
-            jac = jax.jacfwd(fn_raw)
-        rm = jax.jit(
-            lambda xx, pp: jnp.max(jnp.abs(jac(xx, pp)), axis=1))(x, p)
-        return np.asarray(rm)
 
     g_e = g_i = None
     if problem.kkt is not None and (m_e or m_i):
         # structured path: per-row maxima from the same closed forms the
         # BBD assembly uses — no dense (m, n_x) Jacobian at 10k+ scale
-        rme_d, rmi_d = jax.jit(problem.kkt.row_maxes)(x, p)
+        rme_d, rmi_d = eng.kkt_row_maxes_j(x, p)
         if m_e:
             row = np.asarray(rme_d)
             g_e = jnp.asarray(
@@ -538,11 +696,11 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
     else:
         if m_e:
-            row = _jac_row_max(eq_raw, je_raw)
+            row = np.asarray(eng.row_max_e_j(x, p))
             g_e = jnp.asarray(
                 np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
         if m_i:
-            row = _jac_row_max(ineq_raw, ji_raw)
+            row = np.asarray(eng.row_max_i_j(x, p))
             g_i = jnp.asarray(
                 np.minimum(1.0, 100.0 / np.maximum(row, 1e-12)))
 
@@ -554,30 +712,6 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     if g_i is not None:
         pk["gi"] = g_i
 
-    f = lambda xx, pp: pp["sf"] * f_raw(xx, pp["p"])  # noqa: E731
-    c_e_fn = (lambda xx, pp: pp["ge"] * eq_raw(xx, pp["p"])) if m_e \
-        else None
-    c_i_fn = (lambda xx, pp: pp["gi"] * ineq_raw(xx, pp["p"])) if m_i \
-        else None
-    # analytic derivatives get the same row scaling as the constraints
-    jac_e_fn = (lambda xx, pp: pp["ge"][:, None] * je_raw(xx, pp["p"])) \
-        if (m_e and je_raw is not None) else None
-    jac_i_fn = (lambda xx, pp: pp["gi"][:, None] * ji_raw(xx, pp["p"])) \
-        if (m_i and ji_raw is not None) else None
-    # hess convention: the user callable computes the RAW Lagrangian
-    # Hessian  ∇²f_raw - Σ ŷ_i ∇²c_E,i - Σ ẑ_j ∇²c_I,j  with duals mapped
-    # into raw-constraint space; the wrapper rescales the whole thing by
-    # sf so it equals the Hessian of the scaled Lagrangian the IPM steps on
-    hess_fn = (lambda xx, yy, zz, pp: pp["sf"] * hess_raw(
-        xx, (pp["ge"] * yy / pp["sf"]) if m_e else yy,
-        (pp["gi"] * zz / pp["sf"]) if m_i else zz, pp["p"])) \
-        if hess_raw is not None else None
-
-    step, step_f64, kkt_error, metrics, resto_step, \
-        (c_e, c_i, grad_f, jac_e, jac_i, kkt_components) = _make_fns(
-        f, c_e_fn, c_i_fn, n_x, m_e, m_i,
-        jac_e_fn=jac_e_fn, jac_i_fn=jac_i_fn, hess_fn=hess_fn,
-        kkt_obj=problem.kkt)
     # once the f32 precision wall is detected (failed linear residual at
     # the endgame), every later Newton system solves through the f64
     # LDL^T — active-set conditioning only worsens as mu shrinks
@@ -589,34 +723,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # fallbacks, they do not change behavior below them.
     resto_ok = n_x <= 8192
     recovery_ok = n_x <= 4096
-    # jitted wrappers for every host-loop evaluation: an eager constraint
-    # or Jacobian evaluation is hundreds of op-by-op dispatches through
-    # the TPU tunnel (~20 ms each) — minutes per call at pegase scale
-    f_j = jax.jit(f)
-    c_e_j = jax.jit(c_e)
-    c_i_j = jax.jit(c_i)
-    grad_f_j = jax.jit(grad_f)
-    jac_e_j = jax.jit(jac_e)
-    jac_i_j = jax.jit(jac_i)
-    grad_f_jvp_j = jax.jit(lambda xx, dd, pp: jax.jvp(
-        lambda xv: grad_f(xv, pp), (xx,), (dd,))[1])
 
     # start-with-restoration (Ipopt's start_with_resto): a badly infeasible
     # start (MATPOWER setpoints can violate balance by tens of p.u.) pins
     # the barrier iteration — slacks at the boundary cap every step via
     # fraction-to-boundary while duals blow up. A cheap Levenberg-Marquardt
     # pass on the violation first makes the barrier loop start near-feasible.
-    @jax.jit
-    def _theta_of_dev(xx, pp):
-        t = jnp.asarray(0.0)
-        if m_e:
-            t += jnp.sum(jnp.abs(c_e(xx, pp)))
-        if m_i:
-            t += jnp.sum(jnp.abs(jnp.minimum(c_i(xx, pp), 0.0)))
-        return t
-
     def _theta_of(xx):
-        return float(_theta_of_dev(xx, pk))
+        return float(eng.theta_of_dev(xx, pk))
 
     theta_start = _theta_of(x)
     if (m_e or m_i) and theta_start > 1.0 and resto_ok:
@@ -690,6 +804,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     err = np.inf
     best = None
     stall = 0
+    # most-FEASIBLE iterate seen, tracked separately from best-KKT: at a
+    # degenerate endgame the duals thrash (huge KKT error) while the
+    # primal converges to machine precision — dual recovery needs the
+    # feasible iterate, not the best-KKT one (round-4/5 pegase: best-KKT
+    # theta 6e-5 failed the recovery gate while the last iterates sat at
+    # theta 1e-9 with the exact optimum objective)
+    best_feas = None
+    best_feas_theta = np.inf
 
     _, theta0, _, _, _ = metrics(x, s, mu, pk)
     theta0 = float(theta0)
@@ -714,7 +836,11 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         inequalities — the dual problem at the known solution.
         Returns (err, x, y, z, s) on improvement, else None."""
         best_rec = None
-        for thr in (1e-5, 1e-4, 1e-6, 1e-3):
+        # each threshold costs several host-side (m, n_x) lstsq passes —
+        # seconds at 118-bus, ~half a minute each at pegase scale; cap
+        # the sweep where the dense algebra is expensive
+        thrs = (1e-5, 1e-4, 1e-6, 1e-3) if n_x <= 2048 else (1e-5, 1e-4)
+        for thr in thrs:
             rec = _dual_recovery_at(x_r, s_in, thr)
             if rec is not None and (best_rec is None
                                     or rec[0] < best_rec[0]):
@@ -885,7 +1011,18 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             elif t_start is not None and \
                     _time.perf_counter() - t_start > max_seconds:
                 break
-        err = float(kkt_error(x, y, z, s, 0.0, pk))
+        # E at mu=0 (the stopping error) AND at the whole deterministic
+        # Fiacco-McCormick mu ladder, in one device call / one readback —
+        # the per-candidate kkt_error dispatches were a measurable share
+        # of the tunnel round-trip tax on small problems (round-4 LAV)
+        mu_ladder = [mu]
+        while mu_ladder[-1] > mu_min:
+            mc = mu_ladder[-1]
+            mu_ladder.append(max(mu_min, min(KAPPA_MU * mc,
+                                             mc ** THETA_MU)))
+        errs = np.asarray(kkt_error_multi(
+            x, y, z, s, jnp.asarray([0.0] + mu_ladder), pk))
+        err = float(errs[0])
         if best is None or err < best[0]:
             best = (err, x, y, z, s)
             stall = 0
@@ -913,14 +1050,38 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         # monotone Fiacco-McCormick with superlinear decrease, gated on
         # the mu-scaled error (W-B eq. 7); the filter resets on mu change
         changed = False
-        while mu > mu_min and \
-                float(kkt_error(x, y, z, s, mu, pk)) <= KAPPA_EPS * mu:
-            mu = max(mu_min, min(KAPPA_MU * mu, mu ** THETA_MU))
+        i_mu = 0
+        while mu_ladder[i_mu] > mu_min and \
+                float(errs[1 + i_mu]) <= KAPPA_EPS * mu_ladder[i_mu]:
+            i_mu += 1
             changed = True
+        mu = mu_ladder[i_mu]
         if changed:
             filt = [(theta_max, -np.inf)]
 
-        fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu, pk)
+        mstats, ce_k, ri_k = metrics_p(x, s, mu, pk)
+        mst = np.asarray(mstats)
+        fval, theta_k, phi_k, max_ri = (float(mst[0]), float(mst[1]),
+                                        float(mst[2]), float(mst[3]))
+        if theta_k < best_feas_theta:
+            best_feas = (x, y, z, s)
+            best_feas_theta = theta_k
+        # mu at its floor, KKT stalled, primal (near-)feasible: the duals
+        # are thrashing on a degenerate active set — recover multipliers
+        # directly instead of burning the iteration budget (tried every
+        # 16 stalled iterations; the NNLS polish is host-side expensive)
+        if mu <= mu_min * 1.01 and recovery_ok and theta_k <= 1e-5 \
+                and stall >= 8 and (stall - 8) % 16 == 0:
+            rec = _dual_recovery(x, s, err)
+            if rec is not None and rec[0] < best[0]:
+                best = rec
+                if verbose >= 1:
+                    print(f"  ipm iter {it}: mid-loop dual recovery "
+                          f"kkt -> {rec[0]:.3e}")
+                if rec[0] < acceptable_tol:
+                    err, x, y, z, s = rec
+                    converged = err < tol
+                    break
 
         # Ipopt acceptable-point heuristic (their acceptable_iter /
         # acceptable_constr_viol_tol / acceptable_obj_change_tol): a
@@ -930,8 +1091,8 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         # iterate is, for every practical purpose, the solution. Stop once
         # the violation is negligible and the objective has been stagnant
         # for `acceptable_iter` consecutive iterations.
-        fv = float(fval)
-        if float(theta_k) <= max(10.0 * tol, 1e-7) and \
+        fv = fval
+        if theta_k <= max(10.0 * tol, 1e-7) and \
                 prev_obj is not None and \
                 abs(fv - prev_obj) <= 1e-7 * max(1.0, abs(fv)):
             acceptable_run += 1
@@ -954,7 +1115,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             acceptable_run = 0
         prev_obj = fv
 
-        if m_i and float(jnp.max(ri_k)) > 0.0:
+        if m_i and max_ri > 0.0:
             # slack lifting: raising s_i to c_I(x)_i wherever c_I(x)_i > s_i
             # strictly reduces both theta (|c_I - s| -> 0) and phi
             # (-mu log s shrinks) — monotone for the filter, and it frees
@@ -962,9 +1123,9 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             s = jnp.where(ri_k > 0.0, s + ri_k, s)
             z = jnp.clip(z, mu / (KAPPA_SIGMA * s), KAPPA_SIGMA * mu / s)
             z = jnp.maximum(z, 1e-14)
-            fval, theta_k, phi_k, ce_k, ri_k = metrics(x, s, mu, pk)
-        theta_k = float(theta_k)
-        phi_k = float(phi_k)
+            mstats, ce_k, ri_k = metrics_p(x, s, mu, pk)
+            mst = np.asarray(mstats)
+            theta_k, phi_k = float(mst[1]), float(mst[2])
         if verbose >= 2:
             print(f"  ipm iter {it}: kkt={err:.3e} mu={mu:.3e} "
                   f"theta={theta_k:.3e} phi={phi_k:.6e}")
@@ -980,17 +1141,17 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         for attempt in range(30):
             cur_step = step_f64 if (use_f64 and step_f64 is not None) \
                 else step
-            out = cur_step(x, y, z, s, mu, delta, ce_k, ri_k, pk)
-            dx, dy, ds, dz, alpha_s, alpha_z, lin_res, curv, dphi = out
-            dxn = float(dx @ dx)
-            ok = bool(jnp.all(jnp.isfinite(dx))) \
-                and float(lin_res) < 1e-6 \
-                and (float(curv) >= 1e-12 * dxn or dxn == 0.0)
+            dx, dy, ds, dz, sstats = cur_step(
+                x, y, z, s, mu, delta, ce_k, ri_k, pk)
+            # one readback for every scalar the host logic needs
+            (alpha_s, alpha_z, lin_res, curv, dphi, dxn,
+             finite) = (float(v) for v in np.asarray(sstats))
+            ok = finite > 0.5 and lin_res < 1e-6 \
+                and (curv >= 1e-12 * dxn or dxn == 0.0)
             if ok:
                 break
             if not use_f64 and step_f64 is not None \
-                    and bool(jnp.all(jnp.isfinite(dx))) \
-                    and float(lin_res) >= 1e-6:
+                    and finite > 0.5 and lin_res >= 1e-6:
                 # finite step but the linear residual check failed: the
                 # f32 factorization hit its precision wall (endgame
                 # active-set conditioning), NOT an inertia problem —
@@ -999,7 +1160,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 use_f64 = True
                 if verbose >= 1:
                     print(f"  ipm iter {it}: f32 lin_res "
-                          f"{float(lin_res):.1e} -> f64 LDL^T endgame")
+                          f"{lin_res:.1e} -> f64 LDL^T endgame")
                 continue
             delta = 1e-8 * max(1.0, float(jnp.max(jnp.abs(x)))) \
                 if delta == 0.0 else delta * 8.0
@@ -1007,8 +1168,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if not ok:
             break  # no factorizable system; return best iterate
 
-        dphi = float(dphi)
-        alpha_max = float(alpha_s)
+        alpha_max = alpha_s
 
         # minimum trial step before feasibility restoration (W-B eq. 23)
         if dphi < 0.0:
@@ -1029,49 +1189,76 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         f_type = False
         soc_done = 0
         dx_t, ds_t = dx, ds
+        theta_t = np.inf
+
+        def _accept(th_t, ph_t, a):
+            """Filter + switching/Armijo acceptance at one trial point."""
+            if not (np.isfinite(th_t) and np.isfinite(ph_t)):
+                return False, False
+            if not _filter_accepts(filt, th_t, ph_t):
+                return False, False
+            switching = dphi < 0.0 and \
+                a * (-dphi) ** S_PHI > DELTA_SW * theta_k ** S_THETA
+            if theta_k <= theta_min and switching:
+                return ph_t <= phi_k + ETA_PHI * a * dphi, True
+            return (th_t <= (1.0 - GAMMA_THETA) * theta_k or
+                    ph_t <= phi_k - GAMMA_PHI * theta_k), False
+
+        # full-step phase: trial + second-order corrections (W-B §2.4) —
+        # each SOC changes the DIRECTION so it needs its own step solve
         while True:
             x_t = x + alpha * dx_t
             s_t = jnp.maximum(s + alpha * ds_t, 1e-300) if m_i else s
-            _, theta_t, phi_t, ce_t, ri_t = metrics(x_t, s_t, mu, pk)
-            theta_t = float(theta_t)
-            phi_t = float(phi_t)
-            if np.isfinite(theta_t) and np.isfinite(phi_t) and \
-                    _filter_accepts(filt, theta_t, phi_t):
-                switching = dphi < 0.0 and \
-                    alpha * (-dphi) ** S_PHI > DELTA_SW * theta_k ** S_THETA
-                if theta_k <= theta_min and switching:
-                    if phi_t <= phi_k + ETA_PHI * alpha * dphi:
-                        accepted, f_type = True, True
-                        break
-                else:
-                    if theta_t <= (1.0 - GAMMA_THETA) * theta_k or \
-                            phi_t <= phi_k - GAMMA_PHI * theta_k:
-                        accepted = True
-                        break
-            # second-order correction: only from the full step, only while
-            # the violation keeps shrinking (W-B §2.4)
+            tstats, ce_t, ri_t = metrics_p(x_t, s_t, mu, pk)
+            tst = np.asarray(tstats)
+            theta_t, phi_t = float(tst[1]), float(tst[2])
+            accepted, f_type = _accept(theta_t, phi_t, alpha)
+            if accepted:
+                break
             if alpha == alpha_max and soc_done < MAX_SOC and m_e + m_i and \
                     np.isfinite(theta_t) and theta_t >= theta_k:
                 ce_soc = alpha * ce_k + ce_t if m_e else ce_k
                 ri_soc = alpha * ri_k + ri_t if m_i else ri_k
-                out = cur_step(x, y, z, s, mu, delta, ce_soc, ri_soc, pk)
-                dx_c, _, ds_c, _, alpha_s_c, _, lin_res_c, _, _ = out
-                if bool(jnp.all(jnp.isfinite(dx_c))) and \
-                        float(lin_res_c) < 1e-6:
+                dx_c, _, ds_c, _, st_c = cur_step(
+                    x, y, z, s, mu, delta, ce_soc, ri_soc, pk)
+                st_c = np.asarray(st_c)
+                if float(st_c[6]) > 0.5 and float(st_c[2]) < 1e-6:
                     soc_done += 1
                     dx_t, ds_t = dx_c, ds_c
-                    alpha = alpha_max = min(alpha_max, float(alpha_s_c))
+                    alpha = alpha_max = min(alpha_max, float(st_c[0]))
                     continue
                 soc_done = MAX_SOC
             if soc_done and (dx_t is not dx):
                 # SOC trial failed: fall back to the uncorrected direction
                 dx_t, ds_t = dx, ds
-                alpha = alpha_max = float(alpha_s)
+                alpha = alpha_max = alpha_s
                 soc_done = MAX_SOC
                 continue
-            alpha *= 0.5
-            if alpha < alpha_min:
-                break
+            break
+
+        if not accepted and alpha * 0.5 >= alpha_min:
+            # backtracking phase: the direction is now fixed, so every
+            # remaining trial point is probed in ONE device call and the
+            # filter logic walks the (theta, phi) results host-side —
+            # the per-trial metrics dispatches were the dominant tunnel
+            # tax of deep backtracks (round-4 LAV finding)
+            n_bt = min(60, int(np.floor(np.log2(
+                max(alpha / max(alpha_min, 1e-300), 2.0)))) + 1)
+            alphas = alpha * 0.5 ** np.arange(1, n_bt + 1)
+            alphas = alphas[alphas >= alpha_min]
+            if len(alphas):
+                th_arr, ph_arr = ls_probe(
+                    x, s, mu, dx_t, ds_t, jnp.asarray(alphas), pk)
+                th_arr = np.asarray(th_arr)
+                ph_arr = np.asarray(ph_arr)
+                for a_c, th_c, ph_c in zip(alphas, th_arr, ph_arr):
+                    acc, ft = _accept(float(th_c), float(ph_c),
+                                      float(a_c))
+                    if acc:
+                        accepted, f_type = True, ft
+                        alpha = float(a_c)
+                        theta_t = float(th_c)
+                        break
 
         # pinch detection: steps capped hard by the boundary while the
         # violation stalls CUMULATIVELY mean the Newton direction cannot
@@ -1114,15 +1301,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 x_try = x_r + dxr
                 s_try = jnp.maximum(c_i_j(x_try, pk), mu) \
                     if m_i else s
-                _, theta_try, phi_try, _, _ = metrics(x_try, s_try, mu, pk)
-                theta_try = float(theta_try)
+                tst_r = np.asarray(metrics_p(x_try, s_try, mu, pk)[0])
+                theta_try, phi_try = float(tst_r[1]), float(tst_r[2])
                 if theta_try < theta_r:
                     x_r, theta_r = x_try, theta_try
                     lam = max(lam / 3.0, 1e-10)
                     if theta_r <= max(0.9 * theta_k,
                                       (1.0 - GAMMA_THETA) * theta_k) and \
-                            _filter_accepts(filt, theta_r,
-                                            float(phi_try)):
+                            _filter_accepts(filt, theta_r, phi_try):
                         improved = True
                         break
                 else:
@@ -1158,7 +1344,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             y = y + alpha * dy
         if m_i:
             s = jnp.maximum(s + alpha * ds_t, 1e-300)
-            z = z + float(alpha_z) * dz
+            z = z + alpha_z * dz
             # kappa_Sigma safeguard: project duals into a band around the
             # central path z ~ mu/s (W-B eq. 16). Weakly-active constraints
             # otherwise shoot z up by ~mu/s^2 on barrier reductions.
@@ -1169,14 +1355,25 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         err, x, y, z, s = best
         converged = converged or err < tol
     if err >= tol and (m_e or m_i) and recovery_ok:
-        theta_x = float(metrics(x, s, 0.0, pk)[1])
-        if theta_x <= max(100.0 * tol, 1e-9 * max(1.0, theta0)):
-            rec = _dual_recovery(x, s, err)
-            if rec is not None:
+        # recovery candidates: the returned (best-KKT) iterate AND the
+        # most-feasible iterate seen — at a degenerate endgame only the
+        # latter passes the feasibility gate (round-5 pegase finding)
+        cands = [(x, s)]
+        if best_feas is not None:
+            cands.append((best_feas[0], best_feas[3]))
+        gate = max(100.0 * tol, 1e-9 * max(1.0, theta0))
+        for x_c, s_c in cands:
+            theta_x = float(metrics(x_c, s_c, 0.0, pk)[1])
+            if theta_x > gate:
+                continue
+            rec = _dual_recovery(x_c, s_c, err)
+            if rec is not None and rec[0] < err:
                 err, x, y, z, s = rec
                 converged = converged or err < tol
                 if verbose >= 1:
                     print(f"  ipm dual recovery: kkt -> {err:.3e}")
+            if err < acceptable_tol:
+                break
     # Breaks out of the barrier loop (no factorizable KKT, feasible-yet-
     # unsteppable, restoration failure) land here with converged=False even
     # when the best iterate is, for every practical purpose, the solution —
@@ -1204,6 +1401,6 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     return IpmResult(
         x=np.asarray(x), y=y_out, z=z_out,
         s=s_out,
-        objective=float(f_raw(x, p)),
+        objective=float(f_j(x, pk)) / scale_f,
         converged=converged, iterations=it, kkt_error=float(err),
         status=status)

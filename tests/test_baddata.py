@@ -109,3 +109,51 @@ def test_residual_test_sparse_path_matches(data_path):
     assert dense.label == sparse.label == bad_label
     assert abs(dense.max_normalized_residual
                - sparse.max_normalized_residual) < 1e-6
+
+
+def test_lnr_removal_fused_matches_stepwise(data_path):
+    """The device-fused LNR loop (lnr_removal) must remove the same
+    devices and land on the same state as the host-driven
+    residual_test + state_estimation loop (the bench config-4 shape)."""
+    from juliagrid_tpu.estimation.baddata import lnr_removal
+
+    def build_mon():
+        system = jg.power_system(str(data_path / "case14test.m"))
+        pf = newton_raphson(system)
+        power_flow(pf)
+        ac_power(pf)
+        ac_current(pf)
+        mon = measurement(system)
+        add_voltmeter(mon, analysis=pf)
+        add_wattmeter(mon, analysis=pf)
+        add_varmeter(mon, analysis=pf)
+        update_wattmeter(mon, mon.wattmeter.label.label(5), active=5.0)
+        update_wattmeter(mon, mon.wattmeter.label.label(12), active=-4.0)
+        return mon
+
+    # stepwise reference loop
+    mon_a = build_mon()
+    se_a = gauss_newton(mon_a)
+    state_estimation(se_a)
+    removed_a = []
+    for _ in range(10):
+        bad = residual_test(se_a, threshold=3.0)
+        if not bad.detect:
+            break
+        removed_a.append(bad.label)
+        state_estimation(se_a)
+
+    # fused loop
+    mon_b = build_mon()
+    se_b = gauss_newton(mon_b)
+    removed_b = lnr_removal(se_b, threshold=3.0, max_remove=10)
+
+    assert removed_a  # the planted errors must actually be caught
+    assert sorted(map(str, removed_a)) == sorted(map(str, removed_b))
+    np.testing.assert_allclose(se_b.voltage.magnitude,
+                               se_a.voltage.magnitude, atol=1e-9)
+    np.testing.assert_allclose(se_b.voltage.angle,
+                               se_a.voltage.angle, atol=1e-9)
+    # the monitoring sets agree row-for-row
+    np.testing.assert_array_equal(
+        mon_b.wattmeter.active.status, mon_a.wattmeter.active.status)

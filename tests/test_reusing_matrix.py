@@ -257,7 +257,7 @@ def test_dc_opf_reuse_matches_fresh(data_path, edit):
 
 
 _AC_OPF_EDITS = ["demand", "gen_limits", "cost_poly", "cost_piecewise",
-                 "branch_off", "add_generator"]
+                 "branch_off", "add_generator", "add_branch"]
 
 
 @pytest.mark.slow
@@ -377,7 +377,8 @@ MEAS_EDITS = {
     "add_wattmeter": m_add_wattmeter,
 }
 
-_SE_SYS_EDITS = ["branch_off", "branch_off_on", "slack_move", "add_branch"]
+_SE_SYS_EDITS = ["branch_off", "branch_off_on", "slack_move", "add_branch",
+                 "add_generator"]
 
 
 def _solve_pair(mon, build, atol):
