@@ -76,6 +76,14 @@ class NrBbdArrays(NamedTuple):
     # masks in local layouts
     mask_int: jax.Array    # f64[k, 2ni]
     mask_bdr: jax.Array    # f64[2mb]
+    # locality-compressed border: each block only couples to the border
+    # buses on its own perimeter, so the coupling strips store 2*mbl
+    # local columns instead of 2*mb global ones (the (k, ni, mb) arrays
+    # were the HBM wall of the 70k-class envelope: k*ni*mb grows ~n^1.5
+    # while k*ni*mbl grows ~n). bsel maps local border slots to global
+    # ones (padded with 2*mb -> a dummy scatter target).
+    bsel: jax.Array        # i32[k, 2mbl]
+    bmask: jax.Array       # f64[k, 2mbl] 1 for real local slots
     n_blocks: int = 0      # static via shape, kept for clarity
 
 
@@ -84,6 +92,7 @@ class _BbdLayout:
     k: int
     ni: int
     mb: int
+    mbl: int = 0
 
 
 def compile_nr_bbd(system: PowerSystem, n_blocks: int):
@@ -117,53 +126,92 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
 
     # quadrant value vector layout: [H(nnz), N(nnz), J(nnz), L(nnz)]
     # variable local index: θ -> slot, V -> ni + slot (interior) or
-    # mb + slot (border)
-    fam_lists = {0: [], 1: [], 2: [], 3: []}  # (sel, blk, lrow, lcol)
+    # mb + slot (border). Fully vectorized: the per-entry Python loop
+    # cost minutes of host time at the 70k-class nnz (~4M quadrants).
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    yg_host = np.asarray(vals_host.real)
+    yb_host = np.asarray(vals_host.imag)
+    bb_i = bus_block[rows]
+    bb_j = bus_block[cols]
+    int_i = bb_i >= 0
+    int_j = bb_j >= 0
+    cross = int_i & int_j & (bb_i != bb_j)
+    # only structurally-zero entries (off branches kept in the pattern)
+    # may cross interiors; their H/N/J/L values are identically 0, so
+    # dropping them is exact
+    bad = cross & ~((rows != cols) & (yg_host == 0.0) & (yb_host == 0.0))
+    if bad.any():
+        raise RuntimeError(
+            "BBD routing: nonzero entry couples two interiors")
+    fam = np.where(cross, -1,
+                   np.where(int_i & int_j, 0,
+                            np.where(int_i, 1, np.where(int_j, 2, 3))))
+    e_idx = np.arange(nnz, dtype=np.int64)
+    sels, blks, lrows, lcols, fams = [], [], [], [], []
+    for quad, (mi_, mj_) in enumerate(
+            ((False, False), (False, True), (True, False), (True, True))):
+        # quad order: H (P,θ), N (P,V), J (Q,θ), L (Q,V)
+        ri = np.where(int_i, bus_slot[rows] + (ni if mi_ else 0),
+                      bus_slot[rows] + (mb if mi_ else 0))
+        cj = np.where(int_j, bus_slot[cols] + (ni if mj_ else 0),
+                      bus_slot[cols] + (mb if mj_ else 0))
+        sels.append(quad * nnz + e_idx)
+        blks.append(np.where(int_i, bb_i, np.where(int_j, bb_j, 0)))
+        lrows.append(ri)
+        lcols.append(cj)
+        fams.append(fam)
+    sel_all = np.concatenate(sels)
+    blk_all = np.concatenate(blks)
+    row_all = np.concatenate(lrows)
+    col_all = np.concatenate(lcols)
+    fam_all = np.concatenate(fams)
 
-    def var_idx(bus, mag):
-        if bus_block[bus] >= 0:
-            return (int(bus_block[bus]),
-                    int(bus_slot[bus] + (ni if mag else 0)))
-        return (-1, int(bus_slot[bus] + (mb if mag else 0)))
+    def pack(f):
+        m = fam_all == f
+        return (sel_all[m].astype(np.int32), blk_all[m].astype(np.int32),
+                row_all[m].astype(np.int32), col_all[m].astype(np.int32))
 
-    yg_host = vals_host.real
-    yb_host = vals_host.imag
-    for e in range(nnz):
-        i, j = int(rows[e]), int(cols[e])
-        for quad, (mi, mj) in enumerate(
-                ((False, False), (False, True), (True, False), (True, True))):
-            # quad order: H (P,θ), N (P,V), J (Q,θ), L (Q,V)
-            bi_, ri = var_idx(i, mi)
-            bj_, cj = var_idx(j, mj)
-            sel = quad * nnz + e
-            if bi_ >= 0 and bj_ >= 0:
-                if bi_ != bj_:
-                    # only structurally-zero entries (off branches kept in
-                    # the pattern) may cross interiors; their H/N/J/L values
-                    # are identically 0, so dropping them is exact
-                    if i != j and yg_host[e] == 0.0 and yb_host[e] == 0.0:
-                        continue
-                    raise RuntimeError(
-                        "BBD routing: nonzero entry couples two interiors")
-                fam_lists[0].append((sel, bi_, ri, cj))
-            elif bi_ >= 0:
-                fam_lists[1].append((sel, bi_, ri, cj))
-            elif bj_ >= 0:
-                fam_lists[2].append((sel, bj_, ri, cj))
-            else:
-                fam_lists[3].append((sel, 0, ri, cj))
+    ii = pack(0)
+    ib = pack(1)
+    bi = pack(2)
+    bb = pack(3)
 
-    def pack(lst):
-        if not lst:
-            return (np.zeros(0, np.int32),) * 4
-        a = np.asarray(lst, dtype=np.int64)
-        return (a[:, 0].astype(np.int32), a[:, 1].astype(np.int32),
-                a[:, 2].astype(np.int32), a[:, 3].astype(np.int32))
+    # ---- locality compression of the border couplings ----------------
+    # per block: the set of border BUSES it actually touches (union of
+    # its ib columns and bi rows); remap those vars to local slots
+    mb_s = max(mb, 1)
+    pairs = np.concatenate([
+        np.stack([ib[1].astype(np.int64), ib[3].astype(np.int64) % mb_s],
+                 axis=1),
+        np.stack([bi[1].astype(np.int64), bi[2].astype(np.int64) % mb_s],
+                 axis=1)]) if mb else np.zeros((0, 2), dtype=np.int64)
+    uniq = np.unique(pairs, axis=0) if len(pairs) else pairs
+    counts = np.bincount(uniq[:, 0], minlength=k) if len(uniq) \
+        else np.zeros(k, dtype=np.int64)
+    mbl = max(int(counts.max()) if len(uniq) else 1, 1)
+    # global (block, border-bus) -> local slot, via a dense lookup table
+    loc_of = np.zeros((k, mb_s), dtype=np.int64)
+    bsel = np.full((k, 2 * mbl), 2 * mb, dtype=np.int32)
+    bmask = np.zeros((k, 2 * mbl))
+    off = 0
+    for b in range(k):
+        qs = uniq[uniq[:, 0] == b, 1] if len(uniq) else np.zeros(0, int)
+        loc_of[b, qs] = np.arange(len(qs))
+        bsel[b, :len(qs)] = qs
+        bsel[b, mbl:mbl + len(qs)] = mb + qs
+        bmask[b, :len(qs)] = 1.0
+        bmask[b, mbl:mbl + len(qs)] = 1.0
 
-    ii = pack(fam_lists[0])
-    ib = pack(fam_lists[1])
-    bi = pack(fam_lists[2])
-    bb = pack(fam_lists[3])
+    def to_local(blks, gvars):
+        b64 = blks.astype(np.int64)
+        g64 = gvars.astype(np.int64)
+        q = g64 % mb_s
+        return (loc_of[b64, q]
+                + np.where(g64 >= mb, mbl, 0)).astype(np.int32)
+
+    ib = (ib[0], ib[1], ib[2], to_local(ib[1], ib[3]))
+    bi = (bi[0], bi[1], to_local(bi[1], bi[2]), bi[3])
 
     # masks: active angle vars (bus != slack), active magnitude (PQ)
     types = system.bus.layout.type.array[:n]
@@ -196,8 +244,10 @@ def compile_nr_bbd(system: PowerSystem, n_blocks: int):
         bus_slot=jnp.asarray(bus_slot.astype(np.int32)),
         mask_int=jnp.asarray(mask_int),
         mask_bdr=jnp.asarray(mask_bdr),
+        bsel=jnp.asarray(bsel),
+        bmask=jnp.asarray(bmask),
     )
-    return arr, _BbdLayout(k=k, ni=ni, mb=mb)
+    return arr, _BbdLayout(k=k, ni=ni, mb=mb, mbl=mbl)
 
 
 def _quadrant_values(arr: NrBbdArrays, vm, va):
@@ -233,7 +283,7 @@ def _quadrant_values(arr: NrBbdArrays, vm, va):
 
 def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
     n = vm.shape[0]
-    k, ni, mb = layout.k, layout.ni, layout.mb
+    k, ni, mb, mbl = layout.k, layout.ni, layout.mb, layout.mbl
     vals, p, q = _quadrant_values(arr, vm, va)
 
     not_slack = jnp.arange(n) != arr.slack
@@ -241,27 +291,31 @@ def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
     mp = jnp.where(not_slack, p - arr.p_sched, 0.0)
     mq = jnp.where(is_pq, q - arr.q_sched, 0.0)
 
-    # route Jacobian values
+    # route Jacobian values; coupling strips live in the LOCAL border
+    # layout (2*mbl columns per block — see NrBbdArrays.bsel)
     a_ii = jnp.zeros((k, 2 * ni, 2 * ni), dtype=vm.dtype)
     a_ii = a_ii.at[arr.ii_blk, arr.ii_row, arr.ii_col].add(
         vals[arr.ii_sel])
-    a_ib = jnp.zeros((k, 2 * ni, 2 * mb), dtype=vm.dtype)
+    a_ib = jnp.zeros((k, 2 * ni, 2 * mbl), dtype=vm.dtype)
     a_ib = a_ib.at[arr.ib_blk, arr.ib_row, arr.ib_col].add(
         vals[arr.ib_sel])
-    a_bi = jnp.zeros((k, 2 * mb, 2 * ni), dtype=vm.dtype)
+    a_bi = jnp.zeros((k, 2 * mbl, 2 * ni), dtype=vm.dtype)
     a_bi = a_bi.at[arr.bi_blk, arr.bi_row, arr.bi_col].add(
         vals[arr.bi_sel])
     a_bb = jnp.zeros((2 * mb, 2 * mb), dtype=vm.dtype)
     a_bb = a_bb.at[arr.bb_row, arr.bb_col].add(vals[arr.bb_sel])
 
-    # masking: inactive vars -> identity rows/cols (family-wise)
+    # masking: inactive vars -> identity rows/cols (family-wise); the
+    # border mask is gathered into each block's local slots
     mi = arr.mask_int
     mbd = arr.mask_bdr
+    mbd_pad = jnp.concatenate([mbd, jnp.zeros(1, dtype=vm.dtype)])
+    mloc = mbd_pad[arr.bsel] * arr.bmask          # (k, 2mbl)
     eye_i = jnp.eye(2 * ni, dtype=vm.dtype)
     a_ii = mi[:, :, None] * a_ii * mi[:, None, :] \
         + eye_i[None] * (1.0 - mi)[:, :, None]
-    a_ib = mi[:, :, None] * a_ib * mbd[None, None, :]
-    a_bi = mbd[None, :, None] * a_bi * mi[:, None, :]
+    a_ib = mi[:, :, None] * a_ib * mloc[:, None, :]
+    a_bi = mloc[:, :, None] * a_bi * mi[:, None, :]
     a_bb = mbd[:, None] * a_bb * mbd[None, :] + jnp.diag(1.0 - mbd)
 
     # rhs routed to local layouts
@@ -280,12 +334,22 @@ def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
     r_int = r_int * mi
     r_bdr = r_bdr * mbd
 
-    # Schur solve
+    # Schur solve: per-block (2mbl)^2 contributions scatter-add into the
+    # global border system (padded dummy row/col absorbs masked slots)
     y, z = linalg.batched_lu_solve2(a_ii, r_int, a_ib)
-    schur = a_bb - jnp.sum(a_bi @ z, axis=0)
-    rhs_b = r_bdr - jnp.sum(jnp.einsum("kmi,ki->km", a_bi, y), axis=0)
+    contrib = a_bi @ z                             # (k, 2mbl, 2mbl)
+    s_pad = jnp.zeros((2 * mb + 1, 2 * mb + 1), dtype=vm.dtype)
+    s_pad = s_pad.at[arr.bsel[:, :, None], arr.bsel[:, None, :]].add(
+        -contrib)
+    schur = a_bb + s_pad[:2 * mb, :2 * mb]
+    rhs_part = jnp.einsum("kmi,ki->km", a_bi, y)   # (k, 2mbl)
+    r_red = jnp.zeros(2 * mb + 1, dtype=vm.dtype).at[arr.bsel].add(
+        rhs_part)
+    rhs_b = r_bdr - r_red[:2 * mb]
     x_b = linalg.solve(linalg.factorize(schur, linalg.LU), rhs_b)
-    x_i = y - jnp.einsum("kim,m->ki", z, x_b)
+    x_b_pad = jnp.concatenate([x_b, jnp.zeros(1, dtype=vm.dtype)])
+    x_loc = x_b_pad[arr.bsel] * arr.bmask          # (k, 2mbl)
+    x_i = y - jnp.einsum("kim,km->ki", z, x_loc)
 
     # gather increments back to global (θ, V)
     d_ang = jnp.where(
@@ -302,9 +366,9 @@ def _nr_bbd_step(arr: NrBbdArrays, layout: _BbdLayout, vm, va):
     return vm_new, va_new
 
 
-@partial(jax.jit, static_argnames=("k", "ni", "mb", "max_iter"))
-def _nr_bbd_solve(arr: NrBbdArrays, k, ni, mb, vm, va, tol, max_iter):
-    layout = _BbdLayout(k=k, ni=ni, mb=mb)
+@partial(jax.jit, static_argnames=("k", "ni", "mb", "mbl", "max_iter"))
+def _nr_bbd_solve(arr: NrBbdArrays, k, ni, mb, mbl, vm, va, tol, max_iter):
+    layout = _BbdLayout(k=k, ni=ni, mb=mb, mbl=mbl)
     mp, mq, del_p, del_q = _mismatch(arr, vm, va)
 
     def cond(carry):
@@ -351,8 +415,8 @@ def power_flow_bbd(analysis: AcPowerFlow, iteration: int = 20,
     vm = jnp.asarray(analysis.voltage.magnitude)
     va = jnp.asarray(analysis.voltage.angle)
     vm, va, it, del_p, del_q, conv = _nr_bbd_solve(
-        analysis.arrays, layout.k, layout.ni, layout.mb, vm, va,
-        tolerance, iteration)
+        analysis.arrays, layout.k, layout.ni, layout.mb, layout.mbl,
+        vm, va, tolerance, iteration)
     analysis.voltage.magnitude = np.asarray(vm)
     analysis.voltage.angle = np.asarray(va)
     analysis.method.iteration = int(it)
