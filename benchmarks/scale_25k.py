@@ -53,10 +53,14 @@ def main():
     out["build_s"] = round(time.perf_counter() - t0, 1)
     out["buses"] = system.bus.number
     out["branches"] = system.branch.number
+    print(json.dumps({"phase": "built", **out}), flush=True)
 
     t0 = time.perf_counter()
     pf = newton_raphson_bbd(system, n_blocks=args.blocks)
     out["nr_setup_s"] = round(time.perf_counter() - t0, 1)
+    lay = pf._bbd_layout
+    out["bbd"] = {"k": lay.k, "ni": lay.ni, "mb": lay.mb, "mbl": lay.mbl}
+    print(json.dumps({"phase": "routed", **out}), flush=True)
 
     t0 = time.perf_counter()
     power_flow_bbd(pf, iteration=40)
@@ -92,9 +96,12 @@ def main():
         out["se_rows"] = (mon.voltmeter.number + mon.wattmeter.number
                           + mon.varmeter.number)
 
+        print(json.dumps({"phase": "se_monitored", "rows": out["se_rows"]}),
+              flush=True)
         t0 = time.perf_counter()
         se = gauss_newton_bbd(mon, n_blocks=args.blocks)
         out["se_setup_s"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps({"phase": "se_routed", **out}), flush=True)
         t0 = time.perf_counter()
         se_bbd_solve(se)
         out["se_first_s"] = round(time.perf_counter() - t0, 1)
@@ -113,7 +120,7 @@ def main():
         se_bbd_solve(se2)
         out["se_warm_s"] = round(time.perf_counter() - t0, 2)
 
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -142,7 +142,8 @@ def lav_solve(analysis: AcStateEstimation, iteration: int = 200,
                          np.maximum(-r0, 0) + 1e-3])
 
     res = solve_nlp(NlpProblem(objective, eq, ineq, jac_eq=jac_eq,
-                               jac_ineq=jac_ineq, hess=hess, params=pl),
+                               jac_ineq=jac_ineq, hess=hess, params=pl,
+                               engine_key=("ac_lav", n, m_act)),
                     x0, max_iter=iteration, tol=tolerance)
     analysis.voltage.angle = res.x[:n]
     analysis.voltage.magnitude = res.x[n:2 * n]
@@ -180,6 +181,42 @@ def dc_lav_state_estimation(monitoring) -> DcStateEstimation:
     return analysis
 
 
+
+@lru_cache(maxsize=32)
+def _lin_lav_fns(n_state: int, m_act: int, n_extra_eq: int):
+    """Linear LAV (DC / PMU) problem functions for a (state size, active
+    rows) shape, params-threaded like _ac_lav_fns so re-solves reuse
+    solve_nlp's cached engine. ``n_extra_eq`` = 1 appends the DC slack
+    anchor row (p["slack"]); the Jacobians ride params as constants."""
+    n_x = n_state + 2 * m_act
+
+    def objective(xx, p):
+        return jnp.sum(xx[n_state:])
+
+    def eq(xx, p):
+        state = xx[:n_state]
+        u = xx[n_state:n_state + m_act]
+        v = xx[n_state + m_act:]
+        resid = p["h"] @ state + u - v - p["z"]
+        if n_extra_eq:
+            resid = jnp.concatenate([resid, state[p["slack"]][None]])
+        return resid
+
+    def ineq(xx, p):
+        return xx[n_state:]
+
+    def jac_eq(xx, p):
+        return p["je"]
+
+    def jac_ineq(xx, p):
+        return p["ji"]
+
+    def hess(xx, yy, zz, p):
+        return jnp.zeros((n_x, n_x))
+
+    return objective, eq, ineq, jac_eq, jac_ineq, hess
+
+
 def dc_lav_solve(analysis: DcStateEstimation, iteration: int = 200,
                  power: bool = False, tolerance: float = 1e-8):
     analysis._refresh_arrays()
@@ -194,18 +231,6 @@ def dc_lav_solve(analysis: DcStateEstimation, iteration: int = 200,
     z_act = jnp.asarray(z_np[active])
     slack = int(np.asarray(arr.slack))
 
-    def objective(xx):
-        return jnp.sum(xx[n:])
-
-    def eq(xx):
-        theta, u, v = xx[:n], xx[n:n + m_act], xx[n + m_act:]
-        return jnp.concatenate(
-            [h_act @ theta + u - v - z_act,
-             jnp.array([theta[slack]])])
-
-    def ineq(xx):
-        return xx[n:]
-
     # constant LP derivatives: [h_act, I, -I] + slack row; zero Hessian
     n_x = n + 2 * m_act
     je = np.zeros((m_act + 1, n_x))
@@ -213,17 +238,18 @@ def dc_lav_solve(analysis: DcStateEstimation, iteration: int = 200,
     je[np.arange(m_act), n + np.arange(m_act)] = 1.0
     je[np.arange(m_act), n + m_act + np.arange(m_act)] = -1.0
     je[m_act, slack] = 1.0
-    je = jnp.asarray(je)
     ji = np.zeros((2 * m_act, n_x))
     ji[np.arange(2 * m_act), n + np.arange(2 * m_act)] = 1.0
-    ji = jnp.asarray(ji)
-    hz = jnp.zeros((n_x, n_x))
+
+    objective, eq, ineq, jac_eq, jac_ineq, hess = _lin_lav_fns(
+        n, m_act, 1)
+    pl = {"h": h_act, "z": z_act, "slack": jnp.asarray(slack),
+          "je": jnp.asarray(je), "ji": jnp.asarray(ji)}
 
     x0 = np.concatenate([np.zeros(n), np.ones(2 * m_act) * 0.1])
-    res = solve_nlp(NlpProblem(objective, eq, ineq,
-                               jac_eq=lambda xx: je,
-                               jac_ineq=lambda xx: ji,
-                               hess=lambda xx, yy, zz: hz), x0,
+    res = solve_nlp(NlpProblem(objective, eq, ineq, jac_eq=jac_eq,
+                               jac_ineq=jac_ineq, hess=hess, params=pl,
+                               engine_key=("dc_lav", n, m_act)), x0,
                     max_iter=iteration, tol=tolerance)
     analysis.voltage.angle = res.x[:n] + float(arr.slack_angle)
     analysis.method.iteration = res.iterations
@@ -266,34 +292,24 @@ def pmu_lav_solve(analysis: PmuStateEstimation, iteration: int = 200,
     h_act = jnp.asarray(h_np[active])
     z_act = jnp.asarray(z_np[active])
 
-    def objective(xx):
-        return jnp.sum(xx[2 * n:])
-
-    def eq(xx):
-        state, u, v = (xx[:2 * n], xx[2 * n:2 * n + m_act],
-                       xx[2 * n + m_act:])
-        return h_act @ state + u - v - z_act
-
-    def ineq(xx):
-        return xx[2 * n:]
-
     # constant LP derivatives: [h_act, I, -I]; zero Hessian
     n_x = 2 * n + 2 * m_act
     je = np.zeros((m_act, n_x))
     je[:, :2 * n] = h_np[active]
     je[np.arange(m_act), 2 * n + np.arange(m_act)] = 1.0
     je[np.arange(m_act), 2 * n + m_act + np.arange(m_act)] = -1.0
-    je = jnp.asarray(je)
     ji = np.zeros((2 * m_act, n_x))
     ji[np.arange(2 * m_act), 2 * n + np.arange(2 * m_act)] = 1.0
-    ji = jnp.asarray(ji)
-    hz = jnp.zeros((n_x, n_x))
+
+    objective, eq, ineq, jac_eq, jac_ineq, hess = _lin_lav_fns(
+        2 * n, m_act, 0)
+    pl = {"h": h_act, "z": z_act,
+          "je": jnp.asarray(je), "ji": jnp.asarray(ji)}
 
     x0 = np.concatenate([np.ones(n), np.zeros(n), 0.1 * np.ones(2 * m_act)])
-    res = solve_nlp(NlpProblem(objective, eq, ineq,
-                               jac_eq=lambda xx: je,
-                               jac_ineq=lambda xx: ji,
-                               hess=lambda xx, yy, zz: hz), x0,
+    res = solve_nlp(NlpProblem(objective, eq, ineq, jac_eq=jac_eq,
+                               jac_ineq=jac_ineq, hess=hess, params=pl,
+                               engine_key=("pmu_lav", n, m_act)), x0,
                     max_iter=iteration, tol=tolerance)
     re, im = res.x[:n], res.x[n:2 * n]
     analysis.voltage.magnitude = np.hypot(re, im)

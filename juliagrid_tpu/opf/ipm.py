@@ -115,6 +115,15 @@ class NlpProblem:
     # (n_x+m_E)² KKT matrix — the solver assembles and factorizes it in
     # bordered-block-diagonal form (the scale path past ~3k buses).
     kkt: Optional[object] = None
+    # opt-in engine reuse: when set, solve_nlp caches every traced/jitted
+    # function under (engine_key, n_x, m_e, m_i) and reuses them across
+    # solves — ONLY valid when the callables are pure in (x, params),
+    # i.e. every numeric AND structural datum they read flows through the
+    # params pytree or is pinned by the key. Problems whose functions
+    # read mutable Python state at trace time (the in-place-edited OPF
+    # specs) must leave this None: a cached trace would silently bake the
+    # pre-edit structure (the round-5 fix/set_bound regression).
+    engine_key: Optional[tuple] = None
 
 
 @dataclass
@@ -607,15 +616,19 @@ _ENGINE_CAP = 8
 
 
 def _get_engine(problem: NlpProblem, n_x: int, m_e: int, m_i: int):
-    key = (problem.objective, problem.eq, problem.ineq, problem.jac_eq,
-           problem.jac_ineq, problem.hess, problem.kkt,
-           problem.params is not None, n_x, m_e, m_i)
-    try:
-        eng = _ENGINES.pop(key, None)
-    except TypeError:          # unhashable callable: build uncached
+    if problem.engine_key is None:
         return _Engine(problem, n_x, m_e, m_i)
+    fns = (problem.objective, problem.eq, problem.ineq, problem.jac_eq,
+           problem.jac_ineq, problem.hess, problem.kkt)
+    key = (problem.engine_key, n_x, m_e, m_i)
+    eng = _ENGINES.pop(key, None)
+    # belt-and-braces: a key collision with DIFFERENT callables would
+    # serve a foreign trace — rebuild instead
+    if eng is not None and eng._key_fns != fns:
+        eng = None
     if eng is None:
         eng = _Engine(problem, n_x, m_e, m_i)
+        eng._key_fns = fns
     _ENGINES[key] = eng        # re-insert = most-recently-used
     while len(_ENGINES) > _ENGINE_CAP:
         _ENGINES.pop(next(iter(_ENGINES)))
@@ -648,15 +661,22 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     # evaluation here runs hundreds of op-by-op dispatches plus a
     # readback through the TPU tunnel (minutes at pegase scale) just to
     # learn a static shape
+    # NOTE the fresh lambdas: eval_shape on the bound method itself hits
+    # JAX's internal callable-keyed cache, and a live-edited spec (same
+    # method identity, mutated row lists) would report its STALE pre-edit
+    # shape (the round-5 fix/unfix regression)
     if problem.params is not None:
-        m_e = int(jax.eval_shape(problem.eq, x, p).shape[0]) \
+        m_e = int(jax.eval_shape(
+            lambda xx, pp: problem.eq(xx, pp), x, p).shape[0]) \
             if problem.eq else 0
-        m_i = int(jax.eval_shape(problem.ineq, x, p).shape[0]) \
+        m_i = int(jax.eval_shape(
+            lambda xx, pp: problem.ineq(xx, pp), x, p).shape[0]) \
             if problem.ineq else 0
     else:
-        m_e = int(jax.eval_shape(problem.eq, x).shape[0]) \
+        m_e = int(jax.eval_shape(lambda xx: problem.eq(xx), x).shape[0]) \
             if problem.eq else 0
-        m_i = int(jax.eval_shape(problem.ineq, x).shape[0]) \
+        m_i = int(jax.eval_shape(
+            lambda xx: problem.ineq(xx), x).shape[0]) \
             if problem.ineq else 0
 
     # every traced/jitted function, cached across solves of the same
@@ -917,7 +937,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                 # NNLS multipliers on the current active set
                 act_try = act.copy()
                 sol = np.zeros(m_e)
-                for _ in range(6):
+                for _ in range(12):
                     a_mat = np.vstack([je_np, ji_np[act_try]]).T
                     sol, *_ = np.linalg.lstsq(a_mat, g_np, rcond=None)
                     neg = sol[m_e:] < -1e-10
@@ -925,6 +945,13 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                         break
                     idxs = np.flatnonzero(act_try)
                     act_try[idxs[neg]] = False
+                else:
+                    # exhausted with a prune on the last pass: sol is
+                    # sized for the PRE-prune set — recompute once so
+                    # the multiplier scatter below stays aligned (this
+                    # crashed the first pegase recovery attempt)
+                    a_mat = np.vstack([je_np, ji_np[act_try]]).T
+                    sol, *_ = np.linalg.lstsq(a_mat, g_np, rcond=None)
                 y_r = jnp.asarray(sol[:m_e])
                 z_np = np.zeros(m_i)
                 if m_i:
@@ -1066,11 +1093,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if theta_k < best_feas_theta:
             best_feas = (x, y, z, s)
             best_feas_theta = theta_k
-        # mu at its floor, KKT stalled, primal (near-)feasible: the duals
-        # are thrashing on a degenerate active set — recover multipliers
-        # directly instead of burning the iteration budget (tried every
-        # 16 stalled iterations; the NNLS polish is host-side expensive)
-        if mu <= mu_min * 1.01 and recovery_ok and theta_k <= 1e-5 \
+        # mu near its floor (it can stall an order above mu_min when the
+        # thrashing dual residual keeps E_mu > kappa*mu), KKT stalled,
+        # primal (near-)feasible: the duals are thrashing on a degenerate
+        # active set — recover multipliers directly instead of burning
+        # the iteration budget (tried every 16 stalled iterations; the
+        # NNLS polish is host-side expensive)
+        if mu <= max(mu_min * 1.01, 100.0 * tol) and recovery_ok \
+                and theta_k <= 1e-5 \
                 and stall >= 8 and (stall - 8) % 16 == 0:
             rec = _dual_recovery(x, s, err)
             if rec is not None and rec[0] < best[0]:
