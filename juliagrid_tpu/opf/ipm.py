@@ -810,6 +810,14 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             y = jnp.asarray(np.asarray(y_w, dtype=np.float64)) * scale_f
             if g_e is not None:
                 y = y / g_e
+        if m_i and s_w is not None and len(s_w) == m_i:
+            # carried slacks too: re-flooring them at the cold-start push
+            # (0.01) manufactures |c_I - s| ~ 0.01 PER ROW of violation
+            # on a warm iterate that was feasible to machine precision
+            s_c = jnp.asarray(np.asarray(s_w, dtype=np.float64))
+            if g_i is not None:
+                s_c = s_c * g_i    # IpmResult reports s / g_i
+            s = jnp.maximum(s_c, 1e-300)
         if m_i and z_w is not None and len(z_w) == m_i:
             z_c = jnp.asarray(np.asarray(z_w, dtype=np.float64)) * scale_f
             if g_i is not None:
@@ -846,7 +854,60 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     pinch_theta0 = np.inf
     t_start = None  # armed after the first (compile-bearing) iteration
 
-    def _dual_recovery(x_r, s_in, err_now):
+    def _dual_recovery_corr(x_r, y_r, z_r, s_in):
+        """Correction fit: KEEP the seed duals and lstsq only the
+        correction on (y, strongly-active z). At a degenerate endgame the
+        near-converged z spreads real multiplier mass across a long tail
+        of weakly-active rows — rebuilding it from scratch plateaus
+        (round-5 pegase: 0.16 at every threshold) while a small
+        correction on top of the seed lands at refinement level (6.7e-6
+        -> 5.4e-8 measured offline). One lstsq per strength cut."""
+        try:
+            xj = jnp.asarray(np.asarray(x_r, dtype=np.float64))
+            g_np = np.asarray(grad_f_j(xj, pk))
+            je_np = np.asarray(jac_e_j(xj, pk)) if m_e \
+                else np.zeros((0, n_x))
+            ji_np = np.asarray(jac_i_j(xj, pk)) if m_i \
+                else np.zeros((0, n_x))
+            ci_np = np.asarray(c_i_j(xj, pk)) if m_i else np.zeros(0)
+            y_np = np.asarray(y_r, dtype=np.float64)
+            z_np = np.asarray(z_r, dtype=np.float64) if m_i \
+                else np.zeros(0)
+            s_r = jnp.maximum(jnp.asarray(ci_np), 1e-12) if m_i else s_in
+            best_loc = None
+            zmax = float(z_np.max()) if z_np.size else 0.0
+            for frac in (1e-3, 1e-4, 1e-5):
+                strong = z_np > frac * zmax if zmax > 0 else \
+                    np.zeros(m_i, dtype=bool)
+                cols = [je_np]
+                if strong.any():
+                    cols.append(ji_np[strong])
+                a_mat = np.vstack(cols).T
+                r = g_np - je_np.T @ y_np - ji_np.T @ z_np
+                corr, *_ = np.linalg.lstsq(a_mat, r, rcond=None)
+                y2 = y_np + corr[:m_e]
+                z2 = z_np.copy()
+                if strong.any():
+                    z2[strong] = np.maximum(
+                        z2[strong] + corr[m_e:], 0.0)
+                err_r = float(kkt_error(
+                    xj, jnp.asarray(y2), jnp.asarray(z2), s_r, 0.0, pk))
+                if verbose >= 2:
+                    print(f"      dual-corr frac={frac:.0e} "
+                          f"strong={int(strong.sum())} -> err "
+                          f"{err_r:.2e}")
+                if best_loc is None or err_r < best_loc[0]:
+                    best_loc = (err_r, xj, jnp.asarray(y2),
+                                jnp.asarray(z2), s_r)
+                if err_r < tol:
+                    break
+            return best_loc
+        except Exception as exc:
+            if verbose >= 2:
+                print(f"      dual-corr exception: {exc!r}")
+            return None
+
+    def _dual_recovery(x_r, s_in, err_now, y_seed=None, z_seed=None):
         """Degenerate active sets (LP vertices, piecewise breakpoints)
         leave the primal converged while the Newton duals thrash on a
         non-unique multiplier set. Polish the primal onto the active
@@ -856,29 +917,151 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         inequalities — the dual problem at the known solution.
         Returns (err, x, y, z, s) on improvement, else None."""
         best_rec = None
-        # each threshold costs several host-side (m, n_x) lstsq passes —
-        # seconds at 118-bus, ~half a minute each at pegase scale; cap
-        # the sweep where the dense algebra is expensive
-        thrs = (1e-5, 1e-4, 1e-6, 1e-3) if n_x <= 2048 else (1e-5, 1e-4)
-        for thr in thrs:
+        if y_seed is not None and (m_e or m_i):
+            best_rec = _dual_recovery_corr(x_r, y_seed, z_seed, s_in)
+            if best_rec is not None and best_rec[0] < tol:
+                return best_rec if best_rec[0] < err_now else None
+        # fit-first sweep: generous candidate thresholds — the round-5
+        # pegase diagnosis showed the true active rows sitting at
+        # ci ~ 1e-3 * scale from a theta-1e-5-grade iterate, far outside
+        # the tight thresholds, while the stationarity FIT identifies
+        # them exactly (lstsq residual 1e-7 at thr=1e-3)
+        for thr in (1e-5, 1e-4, 1e-3, 1e-2):
             rec = _dual_recovery_at(x_r, s_in, thr)
             if rec is not None and (best_rec is None
                                     or rec[0] < best_rec[0]):
                 best_rec = rec
                 if best_rec[0] < tol:
                     break
+        if (best_rec is None or best_rec[0] >= tol) \
+                and n_x <= 2048:
+            # small-problem fallback: the polish-first + simplex-style
+            # crossover walk (handles epsilon-degenerate LP edges)
+            for thr in (1e-5, 1e-4, 1e-6, 1e-3):
+                rec = _dual_recovery_crossover(x_r, s_in, thr)
+                if rec is not None and (best_rec is None
+                                        or rec[0] < best_rec[0]):
+                    best_rec = rec
+                    if best_rec[0] < tol:
+                        break
         if best_rec is not None and best_rec[0] < err_now:
             return best_rec
         return None
 
     def _dual_recovery_at(x_r, s_in, thr):
-        """One recovery attempt at active-set threshold ``thr``: polish the
-        primal onto the active manifold, compute NNLS multipliers, and if
-        stationarity still fails, crossover simplex-style — descend along
-        the manifold's null space until a new inequality blocks, adopt it,
-        repeat. Handles epsilon-degenerate optimal edges where the IPM
-        iterate sits a visible distance from the vertex that carries the
-        multipliers."""
+        """Fit-first recovery: NNLS multipliers at the UNPOLISHED iterate
+        over a generous candidate set (ci <= thr * scale), then polish
+        the primal only onto the multiplier SUPPORT and refit. Polishing
+        a raw threshold set first (the pre-round-5 order) moves x off
+        the optimum whenever the threshold over-includes near-active
+        rows — the polished-manifold residual blows up and the fit
+        fails; identifying the support from the stationarity fit makes
+        the polish target exactly the rows the optimum pins."""
+        try:
+            x_np = np.asarray(x_r, dtype=np.float64)
+            if m_i:
+                ci0 = np.asarray(c_i_j(x_r, pk))
+                scale_ci = max(1.0, float(np.max(np.abs(ci0))))
+                act = ci0 <= thr * scale_ci
+            else:
+                act = np.zeros(0, dtype=bool)
+            f_old = float(f_j(jnp.asarray(x_np), pk))
+
+            def polish(x_np, act_p):
+                for _ in range(3):
+                    xj = jnp.asarray(x_np)
+                    parts_r, parts_j = [], []
+                    if m_e:
+                        parts_r.append(np.asarray(c_e_j(xj, pk)))
+                        parts_j.append(np.asarray(jac_e_j(xj, pk)))
+                    if m_i and act_p.any():
+                        parts_r.append(np.asarray(c_i_j(xj, pk))[act_p])
+                        parts_j.append(np.asarray(jac_i_j(xj, pk))[act_p])
+                    if not parts_r:
+                        return x_np
+                    r_all = np.concatenate(parts_r)
+                    if float(np.max(np.abs(r_all))) < 1e-13:
+                        return x_np
+                    j_all = np.vstack(parts_j)
+                    dx_p, *_ = np.linalg.lstsq(j_all, -r_all, rcond=None)
+                    if float(np.max(np.abs(dx_p))) > 1.0:
+                        return x_np
+                    x_np = x_np + dx_p
+                return x_np
+
+            def nnls(g_np, je_np, ji_np, cand):
+                act_try = cand.copy()
+                sol = np.zeros(m_e)
+                for _ in range(12):
+                    a_mat = np.vstack([je_np, ji_np[act_try]]).T
+                    sol, *_ = np.linalg.lstsq(a_mat, g_np, rcond=None)
+                    neg = sol[m_e:] < -1e-10
+                    if not neg.any():
+                        break
+                    idxs = np.flatnonzero(act_try)
+                    act_try[idxs[neg]] = False
+                else:
+                    # exhausted with a prune on the last pass: realign
+                    a_mat = np.vstack([je_np, ji_np[act_try]]).T
+                    sol, *_ = np.linalg.lstsq(a_mat, g_np, rcond=None)
+                return sol, act_try
+
+            best_loc = None
+            for fit_pass in range(2):
+                xj = jnp.asarray(x_np)
+                g_np = np.asarray(grad_f_j(xj, pk))
+                je_np = np.asarray(jac_e_j(xj, pk)) if m_e \
+                    else np.zeros((0, n_x))
+                if m_i:
+                    ci_np = np.asarray(c_i_j(xj, pk))
+                    ji_np = np.asarray(jac_i_j(xj, pk))
+                    if bool(np.any(ci_np < -1e-9)):
+                        break  # polish left feasibility; keep previous
+                else:
+                    ci_np = np.zeros(0)
+                    ji_np = np.zeros((0, n_x))
+                if float(f_j(xj, pk)) > f_old \
+                        + 1e-6 * max(1.0, abs(f_old)):
+                    break  # objective worsened; not a polish any more
+                sol, act_try = nnls(g_np, je_np, ji_np, act)
+                y_r = jnp.asarray(sol[:m_e])
+                z_np = np.zeros(m_i)
+                if m_i:
+                    z_np[act_try] = np.maximum(sol[m_e:], 0.0)
+                z_r = jnp.asarray(z_np)
+                s_r = jnp.maximum(jnp.asarray(ci_np), 1e-12) if m_i \
+                    else s_in
+                err_r = float(kkt_error(xj, y_r, z_r, s_r, 0.0, pk))
+                if verbose >= 2:
+                    print(f"      dual-recovery thr={thr:.0e} "
+                          f"fit={fit_pass}: act={int(act_try.sum())} "
+                          f"-> err {err_r:.2e}")
+                if best_loc is None or err_r < best_loc[0]:
+                    best_loc = (err_r, xj, y_r, z_r, s_r)
+                if err_r < tol or not m_i:
+                    break
+                # polish onto the multiplier support, refit once
+                zmax = float(z_np.max()) if m_i else 0.0
+                supp = act_try & (z_np > 1e-8 * max(1.0, zmax))
+                if not supp.any() or fit_pass == 1:
+                    break
+                x_np = polish(x_np, supp)
+                act = supp
+            return best_loc
+        except Exception as exc:
+            if verbose >= 2:
+                import traceback
+                print(f"      dual-recovery exception: {exc!r}")
+                traceback.print_exc()
+            return None  # best-effort: keep the iterate
+
+    def _dual_recovery_crossover(x_r, s_in, thr):
+        """Polish-first recovery + simplex-style crossover: descend along
+        the active manifold's null space until a new inequality blocks,
+        adopt it, repeat. Handles epsilon-degenerate optimal edges where
+        the IPM iterate sits a visible distance from the vertex that
+        carries the multipliers (small-scale fallback; the fit-first
+        _dual_recovery_at is the primary path)."""
         try:
             x_np = np.asarray(x_r, dtype=np.float64)
             if m_i:
@@ -1045,8 +1228,19 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         mu_ladder = [mu]
         while mu_ladder[-1] > mu_min:
             mc = mu_ladder[-1]
-            mu_ladder.append(max(mu_min, min(KAPPA_MU * mc,
-                                             mc ** THETA_MU)))
+            # superlinear decrease, CAPPED at 50x per rung on LARGE
+            # problems: the raw mu^1.5 rule jumps 1.8e-6 -> 2.5e-9 in
+            # one step near convergence, and recentring z three decades
+            # at once is what thrashed the round-5 pegase endgame (every
+            # s*z product sat at the OLD mu while the new mu demanded
+            # huge dz). The ladder walk still descends MULTIPLE rungs
+            # per iteration whenever E_mu allows. Small problems keep
+            # the classic jump — their Newton steps absorb the
+            # recentring in one go and the jump reaches optimal-grade
+            # error faster than the capped path.
+            cap = mc / 50.0 if n_x > 1024 else 0.0
+            mu_ladder.append(max(mu_min, cap,
+                                 min(KAPPA_MU * mc, mc ** THETA_MU)))
         errs = np.asarray(kkt_error_multi(
             x, y, z, s, jnp.asarray([0.0] + mu_ladder), pk))
         err = float(errs[0])
@@ -1102,7 +1296,23 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         if mu <= max(mu_min * 1.01, 100.0 * tol) and recovery_ok \
                 and theta_k <= 1e-5 \
                 and stall >= 8 and (stall - 8) % 16 == 0:
-            rec = _dual_recovery(x, s, err)
+            # cheap first: best-KKT duals on the most-feasible primal
+            if best is not None and best_feas is not None:
+                err_cross = float(kkt_error(
+                    best_feas[0], best[2], best[3], best_feas[3],
+                    0.0, pk))
+                if err_cross < best[0]:
+                    best = (err_cross, best_feas[0], best[2], best[3],
+                            best_feas[3])
+                    if verbose >= 1:
+                        print(f"  ipm iter {it}: cross candidate "
+                              f"kkt -> {err_cross:.3e}")
+                    if err_cross < acceptable_tol:
+                        err, x, y, z, s = best
+                        converged = err < tol
+                        break
+            rec = _dual_recovery(x, s, err,
+                                 y_seed=best[2], z_seed=best[3])
             if rec is not None and rec[0] < best[0]:
                 best = rec
                 if verbose >= 1:
@@ -1132,7 +1342,11 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                     break
                 # primal stagnant but duals thrashing (degenerate vertex):
                 # recover multipliers directly instead of iterating on
-                rec = _dual_recovery(x, s, err) if recovery_ok else None
+                rec = _dual_recovery(
+                    x, s, err,
+                    y_seed=best[2] if best is not None else y,
+                    z_seed=best[3] if best is not None else z) \
+                    if recovery_ok else None
                 if rec is not None and rec[0] < acceptable_tol:
                     err, x, y, z, s = rec
                     best = (err, x, y, z, s)
@@ -1384,6 +1598,22 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
     if best is not None and best[0] < err:
         err, x, y, z, s = best
         converged = converged or err < tol
+    # cross candidate: the degenerate endgame often IMPROVES the primal
+    # (theta -> 1e-9) on iterations that destroy the duals — the best-KKT
+    # duals evaluated at the most-feasible primal can beat both parents
+    # (one cheap kkt_error call; round-5 pegase: best 6.7e-6 carried its
+    # own theta 6e-5 while the last iterates were feasible to 1e-9)
+    if err >= tol and best is not None and best_feas is not None:
+        err_cross = float(kkt_error(
+            best_feas[0], best[2], best[3], best_feas[3], 0.0, pk))
+        if err_cross < err:
+            err = err_cross
+            x, s = best_feas[0], best_feas[3]
+            y, z = best[2], best[3]
+            best = (err, x, y, z, s)
+            converged = converged or err < tol
+            if verbose >= 1:
+                print(f"  ipm cross candidate: kkt -> {err:.3e}")
     if err >= tol and (m_e or m_i) and recovery_ok:
         # recovery candidates: the returned (best-KKT) iterate AND the
         # most-feasible iterate seen — at a degenerate endgame only the
@@ -1391,12 +1621,16 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         cands = [(x, s)]
         if best_feas is not None:
             cands.append((best_feas[0], best_feas[3]))
-        gate = max(100.0 * tol, 1e-9 * max(1.0, theta0))
+        # loose gate: the fit-first recovery polishes BOTH the equality
+        # residual and the support rows, so a theta ~1e-4-grade iterate
+        # is a workable seed (it guards internally against infeasible or
+        # objective-worsening polish outcomes)
+        gate = max(100.0 * tol, 1e-3 * max(1.0, theta0))
         for x_c, s_c in cands:
             theta_x = float(metrics(x_c, s_c, 0.0, pk)[1])
             if theta_x > gate:
                 continue
-            rec = _dual_recovery(x_c, s_c, err)
+            rec = _dual_recovery(x_c, s_c, err, y_seed=y, z_seed=z)
             if rec is not None and rec[0] < err:
                 err, x, y, z, s = rec
                 converged = converged or err < tol
