@@ -919,7 +919,13 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
         best_rec = None
         if y_seed is not None and (m_e or m_i):
             best_rec = _dual_recovery_corr(x_r, y_seed, z_seed, s_in)
-            if best_rec is not None and best_rec[0] < tol:
+            # early out when the cheap correction already lands: always
+            # at the strict tolerance; at the acceptable level too on
+            # large problems, where the fit-first sweep costs ~10 host
+            # minutes of (m, n_x) lstsq passes (pegase measurement)
+            if best_rec is not None and (
+                    best_rec[0] < tol
+                    or (n_x > 2048 and best_rec[0] < acceptable_tol)):
                 return best_rec if best_rec[0] < err_now else None
         # fit-first sweep: generous candidate thresholds — the round-5
         # pegase diagnosis showed the true active rows sitting at
@@ -1633,6 +1639,7 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
             rec = _dual_recovery(x_c, s_c, err, y_seed=y, z_seed=z)
             if rec is not None and rec[0] < err:
                 err, x, y, z, s = rec
+                best = rec          # status reads best: keep it in sync
                 converged = converged or err < tol
                 if verbose >= 1:
                     print(f"  ipm dual recovery: kkt -> {err:.3e}")
