@@ -51,8 +51,12 @@ _REPS = 3 if FULL else 1
 # complete JSON line after EVERY child, so even a killed run reports
 # what completed. Round-3 post-mortem: six serial children with 1500 s
 # budgets and no overall clock produced rc=124 with zero bytes of output.
+# Fast default raised in round 5 to fit the pegase AC OPF (config5a):
+# every config flushes a complete JSON line the moment it finishes, so
+# a driver that enforces a tighter wall still collects everything that
+# completed — only the in-flight config is lost.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S",
-                                "3600" if FULL else "480"))
+                                "3600" if FULL else "2200"))
 # v5e bf16 MXU peak; f32 ~0.5x, f64 is software-emulated (~10-20x tax on
 # elementwise, matmuls route through f32 passes). MFU is reported against
 # this number so "fast on the chip" is measured against hardware peak.
@@ -499,7 +503,7 @@ def config5_opf(on_tpu):
         system = _case(opf_case)
         opf = ac_optimal_power_flow(system)
         t0 = time.perf_counter()
-        solve(opf, max_seconds=900.0 if on_tpu else 300.0)
+        solve(opf, max_seconds=1100.0 if on_tpu else 300.0)
         t_opf = time.perf_counter() - t0
         out.update(opf_case=opf_case,
                    opf_converged=bool(opf.method.converged),
@@ -703,8 +707,7 @@ def main():
     def flush(partial=True):
         _emit({"budget_s": BUDGET_S, "full": FULL, **detail}, partial)
 
-    base = ORDER if FULL else \
-        [n for n in ORDER if n != "config5a_opf_pegase"]
+    base = ORDER
     names, only = _select(base)
     if not names:
         detail["error"] = f"no configs selected (BENCH_ONLY={only!r})"
