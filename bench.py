@@ -637,10 +637,13 @@ def _emit(detail, partial):
 
 
 def _select(order):
-    only = os.environ.get("BENCH_ONLY")  # e.g. "1,2,3" for a subset
+    only = os.environ.get("BENCH_ONLY")  # "1,3,5b" short codes or names
+    if not only:
+        return list(order), only
+    sel = only.split(",")
     return [n for n in order
-            if not only or n.split("_")[0].removeprefix("config")
-            in only.split(",")], only
+            if n in sel
+            or n.split("_")[0].removeprefix("config") in sel], only
 
 
 def _run_inline_child(names_csv):

@@ -1317,7 +1317,11 @@ def solve_nlp(problem: NlpProblem, x0: np.ndarray,
                         err, x, y, z, s = best
                         converged = err < tol
                         break
-            rec = _dual_recovery(x, s, err,
+            # recover from the BEST iterate's primal (the current x is
+            # the one that just thrashed; run-5 chip logs: corr from the
+            # thrashed x gave 4.4e-4 where the same seed on the best
+            # primal gave 3.0e-7)
+            rec = _dual_recovery(best[1], best[4], err,
                                  y_seed=best[2], z_seed=best[3])
             if rec is not None and rec[0] < best[0]:
                 best = rec
