@@ -66,6 +66,18 @@ class SeBbdArrays(NamedTuple):
     hb_blk: jax.Array
     hb_row: jax.Array
     hb_col: jax.Array
+    # per-BLOCK padded entry tables: the H blocks build one block at a
+    # time inside a lax.map, so the (k, mr, 2ni) batch never
+    # materializes (three ~3.9 GB copies of it were the round-5 25k SE
+    # compile OOM)
+    pb_ei: jax.Array     # i32 (k, emax_i) entry index (pad 0)
+    pb_mi: jax.Array     # f64 (k, emax_i) 1/0 pad mask
+    pb_ri: jax.Array     # i32 (k, emax_i) row slot
+    pb_ci: jax.Array     # i32 (k, emax_i) interior col slot
+    pb_eb: jax.Array     # border analogs
+    pb_mb: jax.Array
+    pb_rb: jax.Array
+    pb_cb: jax.Array
     # row routing
     rows_idx: jax.Array   # i32[k, mr] measurement row per slot (pad 0)
     row_mask: jax.Array   # f64[k, mr]
@@ -198,6 +210,19 @@ def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
     else:
         mask_bdr[bus_slot[slack]] = 0.0
 
+    def group_pad(mask, lcol):
+        idxs = [sel[mask & (blk_e == b)] for b in range(k)]
+        emax = max(max((len(ii) for ii in idxs), default=0), 1)
+        eidx = np.zeros((k, emax), np.int64)
+        emask = np.zeros((k, emax))
+        for b, ii in enumerate(idxs):
+            eidx[b, :len(ii)] = ii
+            emask[b, :len(ii)] = 1.0
+        return eidx, emask, lrow_e[eidx], lcol[eidx]
+
+    pb_ei, pb_mi, pb_ri, pb_ci = group_pad(hi, lcol_int)
+    pb_eb, pb_mb_, pb_rb, pb_cb = group_pad(hb, lcol_bdr)
+
     i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)  # noqa: E731
     sb = SeBbdArrays(
         base=arr, net=net, ent_rows=i32(ent_rows),
@@ -205,6 +230,10 @@ def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
         hi_row=i32(lrow_e[hi]), hi_col=i32(lcol_int[hi]),
         hb_sel=i32(sel[hb]), hb_blk=i32(blk_e[hb]),
         hb_row=i32(lrow_e[hb]), hb_col=i32(lcol_bdr[hb]),
+        pb_ei=i32(pb_ei), pb_mi=jnp.asarray(pb_mi),
+        pb_ri=i32(pb_ri), pb_ci=i32(pb_ci),
+        pb_eb=i32(pb_eb), pb_mb=jnp.asarray(pb_mb_),
+        pb_rb=i32(pb_rb), pb_cb=i32(pb_cb),
         rows_idx=i32(rows_idx), row_mask=jnp.asarray(row_mask),
         lb_gidx=i32(lb_gidx),
         bus_block=i32(bus_block), bus_slot=i32(bus_slot),
@@ -223,33 +252,53 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
     vals = vals * arr.status[sb.ent_rows]
     r = arr.mean - h
 
-    h_int = jnp.zeros((k, mr, 2 * ni), dtype=vm.dtype)
-    h_int = h_int.at[sb.hi_blk, sb.hi_row, sb.hi_col].add(vals[sb.hi_sel])
-    h_bdr = jnp.zeros((k, mr, 2 * lb), dtype=vm.dtype)
-    h_bdr = h_bdr.at[sb.hb_blk, sb.hb_row, sb.hb_col].add(vals[sb.hb_sel])
-    h_int = h_int * sb.mask_int[:, None, :]
-    # local border slack/pad masking: gather the global border mask
+    # Entry-level masking, then the SAME memory/precision design as the
+    # dense path (acse.gn_increment): the H blocks materialize ONLY in
+    # f32 (weight-scaled, feeding HIGHEST-precision MXU gain matmuls one
+    # block at a time) while the f64 right-hand side comes exactly from
+    # the sparse entry list. The f64 (k, mr, 2ni) H of rounds 2-4 was
+    # 7.6 GB at the 25k lattice and its emulated-f64 batched gain einsum
+    # compiled a 29 GB workspace (round-5 OOM); the fixed point of the
+    # GN iteration is rhs = H'Wr = 0, which stays f64-exact — the
+    # f32-formed gain only affects the contraction rate.
     mask_lb = jnp.concatenate(
         [sb.mask_bdr, jnp.zeros(1, dtype=vm.dtype)])[sb.lb_gidx]  # (k, 2lb)
-    h_bdr = h_bdr * mask_lb[:, None, :]
+    sqw_g = jnp.sqrt(arr.w)
+    wr_g = arr.w * r
 
-    w_blk = arr.w[sb.rows_idx] * sb.row_mask
-    r_blk = r[sb.rows_idx] * sb.row_mask
-    # scale by W^1/2 in place: (W^1/2 H)'(W^1/2 H) = H'WH, and overwriting
-    # h_int/h_bdr lets XLA alias the buffers instead of holding the
-    # unscaled AND weighted copies live — at ACTIVSg10k the extra copies
-    # were ~1.7 GB of the HLO-temp footprint that blew the 16 GB chip
-    sqw = jnp.sqrt(w_blk)
-    h_int = h_int * sqw[..., None]
-    h_bdr = h_bdr * sqw[..., None]
-    wr = sqw * r_blk
+    vals_i = vals[sb.hi_sel] * sb.mask_int[sb.hi_blk, sb.hi_col]
+    rows_i = sb.ent_rows[sb.hi_sel]
+    rhs_i = jnp.zeros((k, 2 * ni), dtype=vm.dtype)
+    rhs_i = rhs_i.at[sb.hi_blk, sb.hi_col].add(vals_i * wr_g[rows_i])
 
-    g_ii = jnp.einsum("krc,krd->kcd", h_int, h_int) \
+    vals_b = vals[sb.hb_sel] * mask_lb[sb.hb_blk, sb.hb_col]
+    rows_b = sb.ent_rows[sb.hb_sel]
+    rhs_bk = jnp.zeros((k, 2 * lb), dtype=vm.dtype)
+    rhs_bk = rhs_bk.at[sb.hb_blk, sb.hb_col].add(vals_b * wr_g[rows_b])
+
+    hiprec = jax.lax.Precision.HIGHEST
+
+    def _per_block(args):
+        ei, mi_, ri, ci, mint_b, eb, mb_, rb, cb, mlb_b = args
+        v_i = vals[ei] * mi_ * mint_b[ci]
+        h_b = jnp.zeros((mr, 2 * ni), dtype=jnp.float32)
+        h_b = h_b.at[ri, ci].add(
+            (v_i * sqw_g[sb.ent_rows[ei]]).astype(jnp.float32))
+        v_b = vals[eb] * mb_ * mlb_b[cb]
+        hb_b = jnp.zeros((mr, 2 * lb), dtype=jnp.float32)
+        hb_b = hb_b.at[rb, cb].add(
+            (v_b * sqw_g[sb.ent_rows[eb]]).astype(jnp.float32))
+        return (jnp.matmul(h_b.T, h_b, precision=hiprec),
+                jnp.matmul(h_b.T, hb_b, precision=hiprec),
+                jnp.matmul(hb_b.T, hb_b, precision=hiprec))
+
+    g_ii32, g_ib32, s_kk32 = jax.lax.map(
+        _per_block, (sb.pb_ei, sb.pb_mi, sb.pb_ri, sb.pb_ci, sb.mask_int,
+                     sb.pb_eb, sb.pb_mb, sb.pb_rb, sb.pb_cb, mask_lb))
+    g_ii = g_ii32.astype(vm.dtype) \
         + jax.vmap(jnp.diag)(1.0 - sb.mask_int)
-    g_ib = jnp.einsum("krc,krd->kcd", h_int, h_bdr)     # (k, 2ni, 2lb)
-    s_kk = jnp.einsum("krc,krd->kcd", h_bdr, h_bdr)     # (k, 2lb, 2lb)
-    rhs_i = jnp.einsum("krc,kr->kc", h_int, wr)
-    rhs_bk = jnp.einsum("krc,kr->kc", h_bdr, wr)        # (k, 2lb)
+    g_ib = g_ib32.astype(vm.dtype)
+    s_kk = s_kk32.astype(vm.dtype)
 
     y, z = linalg.batched_lu_solve2(g_ii, rhs_i, g_ib)
 

@@ -42,7 +42,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..ops import linalg
-from ..ops.bbd import BbdArrays, bbd_solve
+from ..ops.bbd import BbdArrays, BbdLocalArrays, bbd_solve
 from ..ops.partition import nd_partition
 
 
@@ -170,12 +170,42 @@ class AcKktBbd:
         self._ii = tuple(jnp.asarray(a.astype(np.int32)) for a in (
             s_ii, blk[rows[s_ii]], aug_slot[rows[s_ii]],
             aug_slot[cols[s_ii]]))
+        # ---- locality-compressed border couplings ----------------------
+        # each block only touches the border slots on its own frontier;
+        # the (k, ni, mb) global-width strips were the 28 GB compile OOM
+        # of the 10k-bus OPF KKT (k*ni*mb grows ~n^1.5, k*ni*mbl ~n)
+        ib_blk = blk[rows[s_ib]].astype(np.int64)
+        ib_col = aug_slot[cols[s_ib]].astype(np.int64)
+        bi_blk = blk[cols[s_bi]].astype(np.int64)
+        bi_row = aug_slot[rows[s_bi]].astype(np.int64)
+        pairs = np.unique(np.concatenate([
+            np.stack([ib_blk, ib_col], axis=1),
+            np.stack([bi_blk, bi_row], axis=1)]), axis=0)             if len(ib_blk) + len(bi_blk) else np.zeros((0, 2), np.int64)
+        counts = np.bincount(pairs[:, 0], minlength=n_blocks)             if len(pairs) else np.zeros(n_blocks, dtype=np.int64)
+        mbl = max(int(counts.max()) if len(pairs) else 1, 1)
+        self.mbl = mbl
+        loc_of = np.zeros((n_blocks, max(mb, 1)), dtype=np.int64)
+        bsel = np.full((n_blocks, mbl), mb, dtype=np.int32)
+        bmask = np.zeros((n_blocks, mbl))
+        for b in range(n_blocks):
+            qs = pairs[pairs[:, 0] == b, 1] if len(pairs)                 else np.zeros(0, np.int64)
+            loc_of[b, qs] = np.arange(len(qs))
+            bsel[b, :len(qs)] = qs
+            bmask[b, :len(qs)] = 1.0
+        self._bsel = jnp.asarray(bsel)
+        self._bmask = jnp.asarray(bmask)
         self._ib = tuple(jnp.asarray(a.astype(np.int32)) for a in (
-            s_ib, blk[rows[s_ib]], aug_slot[rows[s_ib]],
-            aug_slot[cols[s_ib]]))
+            s_ib, ib_blk, aug_slot[rows[s_ib]],
+            loc_of[ib_blk, ib_col]))
         self._bi = tuple(jnp.asarray(a.astype(np.int32)) for a in (
-            s_bi, blk[cols[s_bi]], aug_slot[rows[s_bi]],
+            s_bi, bi_blk, loc_of[bi_blk, bi_row],
             aug_slot[cols[s_bi]]))
+        # mesh (model-parallel) mode keeps the GLOBAL-width layout: the
+        # per-device Schur reduction rides a psum over full border strips
+        self._ib_g = tuple(jnp.asarray(a.astype(np.int32)) for a in (
+            s_ib, ib_blk, aug_slot[rows[s_ib]], ib_col))
+        self._bi_g = tuple(jnp.asarray(a.astype(np.int32)) for a in (
+            s_bi, bi_blk, bi_row, aug_slot[cols[s_bi]]))
         # cross-interior structural zeros: dump at border (0, 0)
         bb_r = np.where(cross[s_bb], 0, aug_slot[rows[s_bb]])
         bb_c = np.where(cross[s_bb], 0, aug_slot[cols[s_bb]])
@@ -492,20 +522,37 @@ class AcKktBbd:
             vals_s[self._ii[0]])
         a_ii = a_ii.at[self._pad_blk, self._pad_slot, self._pad_slot].add(
             1.0)
-        a_ib = jnp.zeros((k, ni, mb))
-        a_ib = a_ib.at[self._ib[1], self._ib[2], self._ib[3]].add(
-            vals_s[self._ib[0]])
-        a_bi = jnp.zeros((k, mb, ni))
-        a_bi = a_bi.at[self._bi[1], self._bi[2], self._bi[3]].add(
-            vals_s[self._bi[0]])
         a_bb = jnp.zeros((mb, mb))
         a_bb = a_bb.at[self._bb[1], self._bb[2]].add(vals_s[self._bb[0]])
 
-        arr = BbdArrays(
-            a_ii=a_ii, a_ib=a_ib, a_bi=a_bi, a_bb=a_bb,
-            interior_idx=self._interior_idx,
-            interior_mask=self._interior_mask,
-            border_idx=self._border_idx)
+        if self.mesh is not None:
+            # mesh (model-parallel) mode: global-width strips — the
+            # per-device Schur reduction psums full border contributions
+            a_ib = jnp.zeros((k, ni, mb))
+            a_ib = a_ib.at[self._ib_g[1], self._ib_g[2],
+                           self._ib_g[3]].add(vals_s[self._ib_g[0]])
+            a_bi = jnp.zeros((k, mb, ni))
+            a_bi = a_bi.at[self._bi_g[1], self._bi_g[2],
+                           self._bi_g[3]].add(vals_s[self._bi_g[0]])
+            arr = BbdArrays(
+                a_ii=a_ii, a_ib=a_ib, a_bi=a_bi, a_bb=a_bb,
+                interior_idx=self._interior_idx,
+                interior_mask=self._interior_mask,
+                border_idx=self._border_idx)
+        else:
+            mbl = self.mbl
+            a_ib = jnp.zeros((k, ni, mbl))
+            a_ib = a_ib.at[self._ib[1], self._ib[2], self._ib[3]].add(
+                vals_s[self._ib[0]])
+            a_bi = jnp.zeros((k, mbl, ni))
+            a_bi = a_bi.at[self._bi[1], self._bi[2], self._bi[3]].add(
+                vals_s[self._bi[0]])
+            arr = BbdLocalArrays(
+                a_ii=a_ii, a_ib=a_ib, a_bi=a_bi, a_bb=a_bb,
+                bsel=self._bsel, bmask=self._bmask,
+                interior_idx=self._interior_idx,
+                interior_mask=self._interior_mask,
+                border_idx=self._border_idx)
         return vals, rhs, d, arr, rhs_s
 
     def _finish(self, vals, rhs, sol):
@@ -529,7 +576,8 @@ class AcKktBbd:
             sol = d * bbd_solve_sharded(self.mesh, arr, rhs_s,
                                         axis=self.mesh_axis)
         else:
-            sol = d * bbd_solve(arr, rhs_s)
+            from ..ops.bbd import bbd_solve_local
+            sol = d * bbd_solve_local(arr, rhs_s)
         return self._finish(vals, rhs, sol)
 
     def solve_f64(self, x, y_s, z_s, sigma, delta, rhs_x, rhs_e, pk):
@@ -541,8 +589,12 @@ class AcKktBbd:
         iterations value correctness over the model-parallel layout)."""
         vals, rhs, d, arr, rhs_s = self._assemble(
             x, y_s, z_s, sigma, delta, pk, rhs_x, rhs_e)
-        from ..ops.bbd import bbd_solve_f64
-        sol = d * bbd_solve_f64(arr, rhs_s)
+        if self.mesh is not None:
+            from ..ops.bbd import bbd_solve_f64
+            sol = d * bbd_solve_f64(arr, rhs_s)
+        else:
+            from ..ops.bbd import bbd_solve_local_f64
+            sol = d * bbd_solve_local_f64(arr, rhs_s)
         return self._finish(vals, rhs, sol)
 
     def row_maxes(self, x, p):

@@ -271,6 +271,112 @@ def bbd_solve_f64(arr: BbdArrays, rhs, refine: int = 2):
     return jax.lax.fori_loop(0, refine, body, x)
 
 
+class BbdLocalArrays(NamedTuple):
+    """BBD snapshot with LOCALITY-COMPRESSED border couplings: each
+    block stores only the border columns it actually touches (mbl local
+    slots, bsel mapping them to global border slots, padded with mb).
+    k*ni*mbl grows ~n where the global-width k*ni*mb grows ~n^1.5 — the
+    coupling memory wall of 10k+ KKT systems (same compression the NR
+    and SE BBD paths carry)."""
+
+    a_ii: jax.Array      # (k, ni, ni)
+    a_ib: jax.Array      # (k, ni, mbl) local coupling
+    a_bi: jax.Array      # (k, mbl, ni)
+    a_bb: jax.Array      # (mb, mb)
+    bsel: jax.Array      # i32 (k, mbl) local slot -> global border slot
+    bmask: jax.Array     # (k, mbl) 1 for real slots
+    interior_idx: jax.Array
+    interior_mask: jax.Array
+    border_idx: jax.Array
+
+
+@jax.jit
+def bbd_solve_local(arr: BbdLocalArrays, rhs):
+    """Schur solve on the locality-compressed layout (single device)."""
+    mb = arr.a_bb.shape[0]
+    r_i = jax.vmap(lambda idx, msk: rhs[idx] * msk)(
+        arr.interior_idx, arr.interior_mask)
+    r_b = rhs[arr.border_idx]
+
+    y, z = linalg.batched_lu_solve2(arr.a_ii, r_i, arr.a_ib)
+    contrib = arr.a_bi @ z                       # (k, mbl, mbl)
+    s_pad = jnp.zeros((mb + 1, mb + 1), dtype=rhs.dtype)
+    s_pad = s_pad.at[arr.bsel[:, :, None], arr.bsel[:, None, :]].add(
+        -contrib)
+    schur = arr.a_bb + s_pad[:mb, :mb]
+    r_red = jnp.zeros(mb + 1, dtype=rhs.dtype).at[arr.bsel].add(
+        jnp.einsum("kmi,ki->km", arr.a_bi, y))
+    x_b = linalg.solve(linalg.factorize(schur, linalg.LU),
+                       r_b - r_red[:mb])
+    x_b_loc = jnp.concatenate(
+        [x_b, jnp.zeros(1, dtype=rhs.dtype)])[arr.bsel] * arr.bmask
+    x_i = y - jnp.einsum("kim,km->ki", z, x_b_loc)
+    n = rhs.shape[0]
+    x = jnp.zeros(n, dtype=rhs.dtype).at[arr.border_idx].set(x_b)
+    for b in range(arr.a_ii.shape[0]):
+        x = x.at[arr.interior_idx[b]].add(
+            x_i[b] * arr.interior_mask[b])
+    return x
+
+
+@jax.jit
+def bbd_solve_local_f64(arr: BbdLocalArrays, rhs, refine: int = 2):
+    """Full-f64 SQD LDL^T Schur solve on the local layout (the endgame
+    twin of bbd_solve_local; see bbd_solve_f64 for the math)."""
+    mb = arr.a_bb.shape[0]
+    l_i, d_i = jax.vmap(linalg.ldlt_f64)(arr.a_ii)
+    z = jax.vmap(linalg.ldlt_solve)(l_i, d_i, arr.a_ib)
+    contrib = arr.a_bi @ z
+    s_pad = jnp.zeros((mb + 1, mb + 1), dtype=rhs.dtype)
+    s_pad = s_pad.at[arr.bsel[:, :, None], arr.bsel[:, None, :]].add(
+        -contrib)
+    schur = arr.a_bb + s_pad[:mb, :mb]
+    l_s, d_s = linalg.ldlt_f64(schur)
+    n = rhs.shape[0]
+
+    def matvec(x):
+        x_i = jax.vmap(lambda idx, msk: x[idx] * msk)(
+            arr.interior_idx, arr.interior_mask)
+        x_b = x[arr.border_idx]
+        x_b_loc = jnp.concatenate(
+            [x_b, jnp.zeros(1, dtype=x.dtype)])[arr.bsel] * arr.bmask
+        ax_i = jnp.einsum("kij,kj->ki", arr.a_ii, x_i) \
+            + jnp.einsum("kim,km->ki", arr.a_ib, x_b_loc)
+        ax_b = arr.a_bb @ x_b
+        ab_loc = jnp.einsum("kmi,ki->km", arr.a_bi, x_i)
+        ax_b = ax_b + jnp.zeros(mb + 1, dtype=x.dtype).at[arr.bsel].add(
+            ab_loc)[:mb]
+        out = jnp.zeros(n, dtype=x.dtype).at[arr.border_idx].set(ax_b)
+        for b in range(arr.a_ii.shape[0]):
+            out = out.at[arr.interior_idx[b]].add(
+                ax_i[b] * arr.interior_mask[b])
+        return out
+
+    def direct(b):
+        r_i = jax.vmap(lambda idx, msk: b[idx] * msk)(
+            arr.interior_idx, arr.interior_mask)
+        r_b = b[arr.border_idx]
+        y = jax.vmap(linalg.ldlt_solve)(l_i, d_i, r_i)
+        r_red = jnp.zeros(mb + 1, dtype=b.dtype).at[arr.bsel].add(
+            jnp.einsum("kmi,ki->km", arr.a_bi, y))
+        x_b = linalg.ldlt_solve(l_s, d_s, r_b - r_red[:mb])
+        x_b_loc = jnp.concatenate(
+            [x_b, jnp.zeros(1, dtype=b.dtype)])[arr.bsel] * arr.bmask
+        x_i = y - jnp.einsum("kim,km->ki", z, x_b_loc)
+        x = jnp.zeros(n, dtype=b.dtype).at[arr.border_idx].set(x_b)
+        for blk in range(arr.a_ii.shape[0]):
+            x = x.at[arr.interior_idx[blk]].add(
+                x_i[blk] * arr.interior_mask[blk])
+        return x
+
+    x = direct(rhs)
+
+    def body(_, x):
+        return x + direct(rhs - matvec(x))
+
+    return jax.lax.fori_loop(0, refine, body, x)
+
+
 class BbdFactors(NamedTuple):
     """Precomputed BBD factorization: per-block f32 LU factors, the
     interior-solved coupling Z = A_ii^-1 B, and the factored Schur
