@@ -580,6 +580,20 @@ def _w_apply_vec(arr: SeArrays, v):
     return wv
 
 
+def _gain_precision():
+    """MXU precision for the SE gain formation. HIGHEST (6-pass f32) is
+    the safe default — the TPU's default bf16 truncation cannot carry
+    weights spanning 1e4..1e8 (round-5 finding). JG_SE_GAIN_PRECISION=
+    high selects the 3-pass variant (~2x faster gain matmuls); the
+    residual-gated refinement still flags any lane the cheaper gain
+    cannot refine, so accuracy degrades to an explicit unconverged
+    signal, never silently."""
+    import os
+    if os.environ.get("JG_SE_GAIN_PRECISION", "").lower() == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.HIGHEST
+
+
 def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
     """One Gauss-Newton increment (reference increment!, :878-931).
 
@@ -640,7 +654,7 @@ def gn_increment(arr: SeArrays, net: AcArrays, vm, va, kind: str):
     rhs = hmat_t(wr)
     reg = 1.0 - col_mask                 # slack-column identity
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = _gain_precision()
     h32 = jnp.zeros((m, 2 * n), dtype=jnp.float32).at[
         ent_rows, ent_cols].add(vals.astype(jnp.float32))
     hw32 = jnp.sqrt(arr.w).astype(jnp.float32)[:, None] * h32

@@ -279,7 +279,8 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
     hiprec = jax.lax.Precision.HIGHEST
 
     def _per_block(args):
-        ei, mi_, ri, ci, mint_b, eb, mb_, rb, cb, mlb_b = args
+        (ei, mi_, ri, ci, mint_b, eb, mb_, rb, cb, mlb_b,
+         rhs_i_b, rhs_b_b) = args
         v_i = vals[ei] * mi_ * mint_b[ci]
         h_b = jnp.zeros((mr, 2 * ni), dtype=jnp.float32)
         h_b = h_b.at[ri, ci].add(
@@ -288,24 +289,26 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
         hb_b = jnp.zeros((mr, 2 * lb), dtype=jnp.float32)
         hb_b = hb_b.at[rb, cb].add(
             (v_b * sqw_g[sb.ent_rows[eb]]).astype(jnp.float32))
-        return (jnp.matmul(h_b.T, h_b, precision=hiprec),
-                jnp.matmul(h_b.T, hb_b, precision=hiprec),
-                jnp.matmul(hb_b.T, hb_b, precision=hiprec))
+        g_ii_b = jnp.matmul(h_b.T, h_b, precision=hiprec).astype(
+            vm.dtype) + jnp.diag(1.0 - mint_b)
+        g_ib_b = jnp.matmul(h_b.T, hb_b, precision=hiprec).astype(
+            vm.dtype)
+        s_kk_b = jnp.matmul(hb_b.T, hb_b, precision=hiprec).astype(
+            vm.dtype)
+        lu, piv = linalg.lu_factor32(g_ii_b)
+        y_b = linalg.lu_solve_refined(lu, piv, g_ii_b, rhs_i_b)
+        z_b = linalg.lu_solve_refined(lu, piv, g_ii_b, g_ib_b)
+        # per-block Schur contribution stays INSIDE the map: batched
+        # emulated-f64 matmuls over all k at once materialized ~4 GB of
+        # split-product temps at the 25k lattice (third compile OOM)
+        s_c_b = s_kk_b - g_ib_b.T @ z_b
+        r_c_b = rhs_b_b - g_ib_b.T @ y_b
+        return y_b, z_b, s_c_b, r_c_b
 
-    g_ii32, g_ib32, s_kk32 = jax.lax.map(
+    y, z, s_contrib, rhs_contrib = jax.lax.map(
         _per_block, (sb.pb_ei, sb.pb_mi, sb.pb_ri, sb.pb_ci, sb.mask_int,
-                     sb.pb_eb, sb.pb_mb, sb.pb_rb, sb.pb_cb, mask_lb))
-    g_ii = g_ii32.astype(vm.dtype) \
-        + jax.vmap(jnp.diag)(1.0 - sb.mask_int)
-    g_ib = g_ib32.astype(vm.dtype)
-    s_kk = s_kk32.astype(vm.dtype)
-
-    y, z = linalg.batched_lu_solve2(g_ii, rhs_i, g_ib)
-
-    # Schur matrix scatter-assembled from local contributions (the pad
-    # sentinel row/col 2mb is sliced away)
-    s_contrib = s_kk - jnp.einsum("kcm,kcd->kmd", g_ib, z)  # (k, 2lb, 2lb)
-    rhs_contrib = rhs_bk - jnp.einsum("kcm,kc->km", g_ib, y)
+                     sb.pb_eb, sb.pb_mb, sb.pb_rb, sb.pb_cb, mask_lb,
+                     rhs_i, rhs_bk))
     schur = jnp.zeros((2 * mb + 1, 2 * mb + 1), dtype=vm.dtype)
     schur = schur.at[sb.lb_gidx[:, :, None],
                      sb.lb_gidx[:, None, :]].add(s_contrib)
