@@ -242,6 +242,11 @@ def compile_se_bbd(system: PowerSystem, monitoring, n_blocks: int):
     return sb, layout, types, row_device
 
 
+# element budget (k*mr*2ni) for the vmapped gain stage; ACTIVSg10k
+# (~2.1e8) batches, the 25k lattice (~9e8) streams per block
+_GAIN_BATCH_ELEMS = int(4e8)
+
+
 def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
     arr = sb.base
     k, ni, mb, lb = layout.k, layout.ni, layout.mb, layout.lb
@@ -278,9 +283,8 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
 
     hiprec = jax.lax.Precision.HIGHEST
 
-    def _per_block(args):
-        (ei, mi_, ri, ci, mint_b, eb, mb_, rb, cb, mlb_b,
-         rhs_i_b, rhs_b_b) = args
+    def _gains_block(args):
+        ei, mi_, ri, ci, mint_b, eb, mb_, rb, cb, mlb_b = args
         v_i = vals[ei] * mi_ * mint_b[ci]
         h_b = jnp.zeros((mr, 2 * ni), dtype=jnp.float32)
         h_b = h_b.at[ri, ci].add(
@@ -295,20 +299,35 @@ def _gn_increment_bbd(sb: SeBbdArrays, layout: _SeBbdLayout, vm, va):
             vm.dtype)
         s_kk_b = jnp.matmul(hb_b.T, hb_b, precision=hiprec).astype(
             vm.dtype)
-        lu, piv = linalg.lu_factor32(g_ii_b)
-        y_b = linalg.lu_solve_refined(lu, piv, g_ii_b, rhs_i_b)
-        z_b = linalg.lu_solve_refined(lu, piv, g_ii_b, g_ib_b)
-        # per-block Schur contribution stays INSIDE the map: batched
-        # emulated-f64 matmuls over all k at once materialized ~4 GB of
-        # split-product temps at the 25k lattice (third compile OOM)
-        s_c_b = s_kk_b - g_ib_b.T @ z_b
-        r_c_b = rhs_b_b - g_ib_b.T @ y_b
-        return y_b, z_b, s_c_b, r_c_b
+        return g_ii_b, g_ib_b, s_kk_b
 
-    y, z, s_contrib, rhs_contrib = jax.lax.map(
-        _per_block, (sb.pb_ei, sb.pb_mi, sb.pb_ri, sb.pb_ci, sb.mask_int,
-                     sb.pb_eb, sb.pb_mb, sb.pb_rb, sb.pb_cb, mask_lb,
-                     rhs_i, rhs_bk))
+    tables = (sb.pb_ei, sb.pb_mi, sb.pb_ri, sb.pb_ci, sb.mask_int,
+              sb.pb_eb, sb.pb_mb, sb.pb_rb, sb.pb_cb, mask_lb)
+    if k * mr * 2 * ni <= _GAIN_BATCH_ELEMS:
+        # small enough to batch: vmapped f32 H builds + gain matmuls,
+        # then the batch-size-aware LU and batched f64 Schur einsums —
+        # the fully sequential per-block pipeline below costs ~6x at
+        # ACTIVSg10k (24.7 s vs 3.9 s warm, round-5 measurement)
+        g_ii, g_ib, s_kk = jax.vmap(_gains_block)(tables)
+        y, z = linalg.batched_lu_solve2(g_ii, rhs_i, g_ib)
+        s_contrib = s_kk - jnp.einsum("kcm,kcd->kmd", g_ib, z)
+        rhs_contrib = rhs_bk - jnp.einsum("kcm,kc->km", g_ib, y)
+    else:
+        # past the budget everything streams one block at a time: the
+        # batched emulated-f64 gain/Schur einsums over all k at once
+        # materialized 4-29 GB of split-product temps at the 25k lattice
+        def _per_block(args):
+            rhs_i_b, rhs_b_b = args[-2:]
+            g_ii_b, g_ib_b, s_kk_b = _gains_block(args[:-2])
+            lu, piv = linalg.lu_factor32(g_ii_b)
+            y_b = linalg.lu_solve_refined(lu, piv, g_ii_b, rhs_i_b)
+            z_b = linalg.lu_solve_refined(lu, piv, g_ii_b, g_ib_b)
+            s_c_b = s_kk_b - g_ib_b.T @ z_b
+            r_c_b = rhs_b_b - g_ib_b.T @ y_b
+            return y_b, z_b, s_c_b, r_c_b
+
+        y, z, s_contrib, rhs_contrib = jax.lax.map(
+            _per_block, tables + (rhs_i, rhs_bk))
     schur = jnp.zeros((2 * mb + 1, 2 * mb + 1), dtype=vm.dtype)
     schur = schur.at[sb.lb_gidx[:, :, None],
                      sb.lb_gidx[:, None, :]].add(s_contrib)
